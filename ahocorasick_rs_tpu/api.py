@@ -1,0 +1,274 @@
+"""Public API: ``AhoCorasick`` and ``BytesAhoCorasick``.
+
+Drop-in TPU-native equivalents of the reference's two matcher classes
+(/root/reference/src/lib.rs:29-33,360-363; typed surface
+/root/reference/pysrc/ahocorasick_rs/ahocorasick_rs.pyi:21-45), with the
+same constructor signature, methods, defaults, error messages and observable
+match semantics.  TPU-only knobs are keyword-only extras with working
+defaults (SURVEY.md §5 config parity rule).
+
+Execution tiers (picked per call by haystack size, overridable with
+``backend=``):
+
+* ``python``  — sequential goto/fail walk; lowest latency for tiny inputs.
+* ``numpy``   — vectorized halo'd lane scan on the host.
+* ``device``  — XLA/TPU lane scan with on-device match compaction
+                (``ops/scan_jax.py``); streams arbitrarily large haystacks.
+
+All tiers produce the identical complete occurrence set; match-kind
+semantics are resolved from it by ``ops.resolve`` (one shared semantics
+engine instead of the reference's per-kind automata).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+import numpy as np
+
+from .models.automaton import Automaton, build_automaton
+from .models.engine import Implementation, MatchKind, select_engine
+from .ops import resolve as _resolve
+from .ops import scan_host
+from .utils.buffers import as_byte_view, pattern_bytes
+from .utils.codepoints import byte_to_codepoint_prefix
+
+#: haystacks up to this many bytes use the sequential python walk.
+PY_TIER_MAX = 2048
+#: haystacks at least this many bytes go to the JAX device tier.
+DEVICE_TIER_MIN = 1 << 21
+
+#: total pattern chars at or below which patterns are stored by default
+#: (reference heuristic, /root/reference/src/lib.rs:164-184).
+STORE_PATTERNS_THRESHOLD = 4096
+
+_OVERLAPPING_ERROR = (
+    "search failed: overlapping searches require MatchKind.Standard "
+    "(the automaton was built with a leftmost match kind)"
+)
+
+
+class _MatcherBase:
+    """Shared construction + scan/resolve pipeline for both matchers."""
+
+    _automaton: Automaton
+    _matchkind: MatchKind
+    _implementation: Implementation
+    _device_tables = None
+
+    def _build(
+        self,
+        byte_patterns: list[bytes],
+        matchkind: MatchKind,
+        implementation: Optional[Implementation],
+    ) -> None:
+        if not isinstance(matchkind, MatchKind):
+            raise TypeError(
+                f"matchkind must be a MatchKind, not {matchkind!r}"
+            )
+        if implementation is not None and not isinstance(
+            implementation, Implementation
+        ):
+            raise TypeError(
+                "implementation must be an Implementation or None, "
+                f"not {implementation!r}"
+            )
+        self._matchkind = matchkind
+        self._automaton = build_automaton(byte_patterns)
+        self._implementation = (
+            implementation
+            if implementation is not None
+            else select_engine(self._automaton)
+        )
+        # Materialise the engine's tables eagerly, like the reference's
+        # builder does, so construction cost lands in __init__.
+        am = self._automaton
+        if self._implementation is Implementation.DFA:
+            am.delta
+        elif self._implementation is Implementation.ContiguousNFA:
+            am.delta_classed
+        else:
+            am.sparse
+
+    # -- scanning ------------------------------------------------------
+    def _scan(self, hay: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Return matched (positions, states) for a uint8 haystack array."""
+        n = len(hay)
+        am = self._automaton
+        backend = self._backend
+        if backend == "auto":
+            if n <= PY_TIER_MAX:
+                backend = "python"
+            elif n < DEVICE_TIER_MIN:
+                backend = "numpy"
+            else:
+                backend = "device"
+        if (
+            backend == "device"
+            and self._implementation is Implementation.NoncontiguousNFA
+        ):
+            # Sparse engine has no device kernel yet; its contract is
+            # fastest-build/slowest-search, so the host path is honest.
+            backend = "numpy"
+        if backend == "python":
+            return scan_host.scan_python(am, hay.tobytes())
+        if backend == "numpy":
+            impl = self._implementation
+            if impl is Implementation.DFA:
+                return scan_host.scan_numpy_lanes(am, hay)
+            if impl is Implementation.ContiguousNFA:
+                return scan_host.scan_numpy_lanes(
+                    am,
+                    hay,
+                    table=am.delta_classed,
+                    classes=am.byte_classes,
+                )
+            return scan_host.scan_numpy_sparse(am, hay)
+        # device tier
+        from .ops import scan_jax
+
+        if self._device_tables is None:
+            engine = (
+                "dfa"
+                if self._implementation is Implementation.DFA
+                else "classed"
+            )
+            self._device_tables = scan_jax.DeviceTables(am, engine)
+        return scan_jax.scan_device(am, hay, self._device_tables)
+
+    def _find(
+        self, hay: np.ndarray, overlapping: bool
+    ) -> list[tuple[int, int, int]]:
+        if overlapping and self._matchkind is not MatchKind.Standard:
+            raise ValueError(_OVERLAPPING_ERROR)
+        positions, states = self._scan(hay)
+        pids, starts, ends = _resolve.expand_occurrences(
+            self._automaton, positions, states
+        )
+        return _resolve.resolve(
+            pids,
+            starts,
+            ends,
+            kind=self._matchkind.value,
+            overlapping=overlapping,
+        )
+
+    # -- observability (SURVEY.md §5 metrics plan) ---------------------
+    def stats(self) -> dict:
+        """Compile-time statistics: states, table bytes, engine chosen."""
+        s = self._automaton.stats()
+        s["implementation"] = self._implementation.name
+        s["matchkind"] = self._matchkind.name
+        return s
+
+
+class AhoCorasick(_MatcherBase):
+    """Multi-pattern string matcher over ``str`` haystacks.
+
+    Matches the reference class (/root/reference/src/lib.rs:134-272): match
+    indexes are in *code points*, not bytes
+    (/root/reference/src/lib.rs:74-75).
+    """
+
+    def __init__(
+        self,
+        patterns: Iterable[str],
+        matchkind: MatchKind = MatchKind.Standard,
+        store_patterns: Optional[bool] = None,
+        implementation: Optional[Implementation] = None,
+        *,
+        backend: str = "auto",
+    ) -> None:
+        byte_patterns: list[bytes] = []
+        originals: list[str] = []
+        total_chars = 0
+        for p in patterns:
+            if not isinstance(p, str):
+                raise TypeError(
+                    f"patterns must be strings, got {type(p).__name__!r}"
+                )
+            if not p:
+                raise ValueError(
+                    "You passed in an empty string as a pattern"
+                )
+            originals.append(p)
+            total_chars += len(p)
+            byte_patterns.append(p.encode("utf-8"))
+        if store_patterns is None:
+            store_patterns = total_chars <= STORE_PATTERNS_THRESHOLD
+        self._patterns: Optional[list[str]] = (
+            originals if store_patterns else None
+        )
+        self._backend = backend
+        self._build(byte_patterns, matchkind, implementation)
+
+    def find_matches_as_indexes(
+        self, haystack: str, overlapping: bool = False
+    ) -> list[tuple[int, int, int]]:
+        """All matches as ``(pattern_index, start, end)`` code-point tuples."""
+        if not isinstance(haystack, str):
+            raise TypeError(
+                f"haystack must be a str, not {type(haystack).__name__!r}"
+            )
+        data = haystack.encode("utf-8")
+        hay = np.frombuffer(data, dtype=np.uint8)
+        matches = self._find(hay, overlapping)
+        if not matches:
+            return []
+        if len(data) == len(haystack):  # pure ASCII: byte index == cp index
+            return matches
+        cp = byte_to_codepoint_prefix(hay)
+        return [(p, int(cp[s]), int(cp[e])) for (p, s, e) in matches]
+
+    def find_matches_as_strings(
+        self, haystack: str, overlapping: bool = False
+    ) -> list[str]:
+        """All matches as their pattern strings.
+
+        Uses stored pattern objects when available, else slices the haystack
+        (both arms produce equal values — reference
+        /root/reference/src/lib.rs:263-271).
+        """
+        if not isinstance(haystack, str):
+            raise TypeError(
+                f"haystack must be a str, not {type(haystack).__name__!r}"
+            )
+        data = haystack.encode("utf-8")
+        hay = np.frombuffer(data, dtype=np.uint8)
+        matches = self._find(hay, overlapping)
+        if self._patterns is not None:
+            return [self._patterns[p] for (p, _, _) in matches]
+        return [data[s:e].decode("utf-8") for (_, s, e) in matches]
+
+
+class BytesAhoCorasick(_MatcherBase):
+    """Multi-pattern matcher over bytes-like haystacks.
+
+    Matches the reference class (/root/reference/src/lib.rs:360-434):
+    patterns and haystacks are buffer-protocol objects, returned indexes are
+    raw byte offsets, and there is no ``find_matches_as_strings``.
+    """
+
+    def __init__(
+        self,
+        patterns: Iterable,
+        matchkind: MatchKind = MatchKind.Standard,
+        implementation: Optional[Implementation] = None,
+        *,
+        backend: str = "auto",
+    ) -> None:
+        byte_patterns: list[bytes] = []
+        for p in patterns:
+            bp = pattern_bytes(p)
+            if not bp:
+                raise ValueError("You passed in an empty pattern")
+            byte_patterns.append(bp)
+        self._backend = backend
+        self._build(byte_patterns, matchkind, implementation)
+
+    def find_matches_as_indexes(
+        self, haystack, overlapping: bool = False
+    ) -> list[tuple[int, int, int]]:
+        """All matches as ``(pattern_index, start, end)`` byte tuples."""
+        hay = as_byte_view(haystack)
+        return self._find(hay, overlapping)

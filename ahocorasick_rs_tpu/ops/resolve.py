@@ -1,0 +1,108 @@
+"""Occurrence expansion and match-semantics resolution.
+
+TPU-first decomposition of the reference's search semantics
+(/root/reference/src/lib.rs:42-68 plus the crate engines): the device does
+one dense, semantics-agnostic scan that yields the *complete* set of pattern
+occurrences (every ``(pattern, start, end)`` in the haystack); every public
+semantic is then a cheap deterministic reduction over that set, done here on
+the host over the compacted (typically tiny) occurrence list:
+
+* ``overlapping=True`` (Standard only): the occurrence list itself, ordered
+  by end position, then pattern length descending, then pattern id — the
+  reference's exact emission order (/root/reference/tests/test_ac.py:276-288).
+* ``Standard``: earliest-ending match wins, then the automaton restarts at
+  the match end (/root/reference/README.md:97-118).  Over the complete set
+  this is a greedy sweep in (end asc, length desc) order keeping matches
+  whose start is >= the previous kept match's end.
+* ``LeftmostFirst`` / ``LeftmostLongest``: leftmost start wins; ties broken
+  by pattern-list position / pattern length
+  (/root/reference/README.md:121-149).  Greedy sweep in (start asc, priority)
+  order with the same restart rule.
+
+The equivalence of the greedy sweeps to the reference's sequential automaton
+iteration follows from the suffix-state property: a scan restarted at
+position ``i`` reports, as its first match, the minimal-end occurrence whose
+start is >= ``i``, breaking same-end ties by maximal length then pattern id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..models.automaton import Automaton
+
+
+def expand_occurrences(
+    am: Automaton, positions: np.ndarray, states: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Expand matched (position, state) pairs into (pids, starts, ends).
+
+    ``positions`` are 0-based haystack byte indexes (ascending) at which the
+    free-running automaton sat in ``states`` with a non-empty match set; a
+    match at index ``i`` has exclusive end ``i + 1``.  Expansion follows the
+    per-state match CSR, so the result is ordered (end asc, len desc, pid
+    asc).
+    """
+    if len(positions) == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z.astype(np.int32), z, z
+    states = np.asarray(states, dtype=np.int64)
+    cnt = am.match_count[states].astype(np.int64)
+    total = int(cnt.sum())
+    ends = np.repeat(np.asarray(positions, dtype=np.int64) + 1, cnt)
+    # ragged arange within each state's CSR slice
+    csum = np.cumsum(cnt)
+    inner = np.arange(total, dtype=np.int64) - np.repeat(csum - cnt, cnt)
+    flat = am.match_offsets[np.repeat(states, cnt)] + inner
+    pids = am.match_pids[flat]
+    starts = ends - am.match_lens[flat]
+    return pids, starts, ends
+
+
+def resolve(
+    pids: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    *,
+    kind: str = "standard",
+    overlapping: bool = False,
+) -> list[tuple[int, int, int]]:
+    """Reduce the complete occurrence set to the requested semantics.
+
+    ``kind`` is one of ``standard`` / ``leftmost_first`` /
+    ``leftmost_longest``.  Inputs must be in (end asc, len desc, pid asc)
+    order, as produced by :func:`expand_occurrences`.
+    """
+    n = len(pids)
+    if overlapping:
+        return [
+            (int(pids[i]), int(starts[i]), int(ends[i])) for i in range(n)
+        ]
+    if n == 0:
+        return []
+
+    if kind == "standard":
+        # Already sorted by (end asc, start asc) — within one end position,
+        # longer pattern == smaller start.  Greedy restart sweep.
+        result = []
+        cur = 0
+        for i in range(n):
+            if starts[i] >= cur:
+                result.append((int(pids[i]), int(starts[i]), int(ends[i])))
+                cur = int(ends[i])
+        return result
+
+    if kind == "leftmost_first":
+        order = np.lexsort((pids, starts))
+    elif kind == "leftmost_longest":
+        order = np.lexsort((pids, starts - ends, starts))
+    else:  # pragma: no cover - internal misuse
+        raise ValueError(f"unknown match kind: {kind}")
+
+    result = []
+    cur = 0
+    for i in order:
+        if starts[i] >= cur:
+            result.append((int(pids[i]), int(starts[i]), int(ends[i])))
+            cur = int(ends[i])
+    return result

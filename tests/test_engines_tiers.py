@@ -1,0 +1,141 @@
+"""Cross-engine and cross-tier equivalence (SURVEY.md §4 gap plan).
+
+All three table layouts (DFA / ContiguousNFA / NoncontiguousNFA) and all
+execution tiers (python walk / numpy lanes / JAX device) must produce
+identical output for every matchkind and for overlapping iteration.  The
+reference never tests this directly; for the TPU build it is the core
+correctness harness, since the tiers share semantics but not code paths.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from ahocorasick_rs_tpu import (
+    AhoCorasick,
+    BytesAhoCorasick,
+    Implementation,
+    MatchKind,
+)
+
+ENGINES = [
+    Implementation.DFA,
+    Implementation.ContiguousNFA,
+    Implementation.NoncontiguousNFA,
+]
+KINDS = [MatchKind.Standard, MatchKind.LeftmostFirst, MatchKind.LeftmostLongest]
+
+
+def _corpus(seed: int, n: int, alphabet: bytes) -> bytes:
+    rng = random.Random(seed)
+    return bytes(rng.choice(alphabet) for _ in range(n))
+
+
+def _patterns(seed: int, count: int, alphabet: bytes) -> list[bytes]:
+    rng = random.Random(seed)
+    pats = set()
+    while len(pats) < count:
+        k = rng.randint(1, 9)
+        pats.add(bytes(rng.choice(alphabet) for _ in range(k)))
+    return sorted(pats)
+
+
+@pytest.mark.parametrize("kind", KINDS)
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_engines_and_tiers_agree_bytes(kind: MatchKind, seed: int) -> None:
+    alphabet = b"abc"
+    patterns = _patterns(seed, 25, alphabet)
+    hay = _corpus(seed + 100, 20_000, alphabet)
+    reference = BytesAhoCorasick(
+        patterns, matchkind=kind, backend="python"
+    ).find_matches_as_indexes(hay)
+    assert reference  # dense alphabet ⇒ matches must exist
+    for engine in ENGINES:
+        for backend in ("numpy", "device"):
+            ac = BytesAhoCorasick(
+                patterns,
+                matchkind=kind,
+                implementation=engine,
+                backend=backend,
+            )
+            got = ac.find_matches_as_indexes(hay)
+            assert got == reference, (engine, backend)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_engines_and_tiers_agree_overlapping(seed: int) -> None:
+    alphabet = b"ab"
+    patterns = _patterns(seed, 12, alphabet)
+    hay = _corpus(seed + 7, 8_000, alphabet)
+    reference = BytesAhoCorasick(
+        patterns, backend="python"
+    ).find_matches_as_indexes(hay, overlapping=True)
+    assert len(reference) > 100
+    for engine in ENGINES:
+        for backend in ("numpy", "device"):
+            ac = BytesAhoCorasick(
+                patterns, implementation=engine, backend=backend
+            )
+            got = ac.find_matches_as_indexes(hay, overlapping=True)
+            assert got == reference, (engine, backend)
+
+
+@pytest.mark.parametrize("kind", KINDS)
+def test_str_tiers_agree_unicode(kind: MatchKind) -> None:
+    rng = random.Random(3)
+    chars = "ab☃é🤦"
+    hay = "".join(rng.choice(chars) for _ in range(6_000))
+    patterns = sorted(
+        {
+            "".join(rng.choice(chars) for _ in range(rng.randint(1, 4)))
+            for _ in range(15)
+        }
+    )
+    reference = AhoCorasick(
+        patterns, matchkind=kind, backend="python"
+    ).find_matches_as_indexes(hay)
+    assert reference
+    for backend in ("numpy", "device"):
+        got = AhoCorasick(
+            patterns, matchkind=kind, backend=backend
+        ).find_matches_as_indexes(hay)
+        assert got == reference, backend
+
+
+def test_device_segmenting_agrees() -> None:
+    """Device tier streams large inputs through halo'd segments; forcing a
+    tiny segment size must not change results."""
+    from ahocorasick_rs_tpu.models.automaton import build_automaton
+    from ahocorasick_rs_tpu.ops import resolve as R
+    from ahocorasick_rs_tpu.ops.scan_host import scan_python
+    from ahocorasick_rs_tpu.ops.scan_jax import DeviceTables, scan_device
+
+    patterns = _patterns(11, 10, b"ab")
+    am = build_automaton(patterns)
+    hay_b = _corpus(12, 30_000, b"ab")
+    hay = np.frombuffer(hay_b, dtype=np.uint8)
+    tables = DeviceTables(am, "dfa")
+    pos, st = scan_device(am, hay, tables, segment_bytes=4096)
+    got = R.resolve(
+        *R.expand_occurrences(am, pos, st), kind="standard", overlapping=True
+    )
+    p2, s2 = scan_python(am, hay_b)
+    want = R.resolve(
+        *R.expand_occurrences(am, p2, s2), kind="standard", overlapping=True
+    )
+    assert got == want
+
+
+def test_auto_backend_consistency_across_sizes() -> None:
+    """The auto dispatcher's tier boundaries must be seamless."""
+    patterns = [b"ring", b"spring", b"ingspr"]
+    for n in (0, 1, 100, 2048, 2049, 5000):
+        hay = (b"springring" * (1 + n // 10))[:n]
+        auto = BytesAhoCorasick(patterns).find_matches_as_indexes(hay)
+        ref = BytesAhoCorasick(
+            patterns, backend="python"
+        ).find_matches_as_indexes(hay)
+        assert auto == ref, n
