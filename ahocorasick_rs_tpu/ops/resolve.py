@@ -59,6 +59,52 @@ def expand_occurrences(
     return pids, starts, ends
 
 
+#: occurrence counts above this use the vectorized pointer-doubling sweep.
+_VECTOR_THRESHOLD = 16384
+
+
+def _greedy_chain_indexes(starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    """Kept indexes of the greedy restart sweep over priority-ordered arrays.
+
+    The sweep keeps element 0, then repeatedly jumps to the first later
+    element whose ``start`` is >= the kept element's ``end``.  Because
+    ``start < end`` for every occurrence, the jump target always lies
+    strictly later in the array, so the kept set is exactly the nodes
+    reachable from 0 through the jump pointer — computed here with
+    O(M log M) pointer doubling instead of a python loop.
+    """
+    M = len(starts)
+    if M <= _VECTOR_THRESHOLD:
+        s_l = starts.tolist()
+        e_l = ends.tolist()
+        keep = []
+        cur = 0
+        for i in range(M):
+            if s_l[i] >= cur:
+                keep.append(i)
+                cur = e_l[i]
+        return np.asarray(keep, dtype=np.int64)
+    # jump[i] = min{ j : starts[j] >= ends[i] }, else M (sentinel)
+    order = np.argsort(starts, kind="stable")
+    sorted_starts = starts[order]
+    # suffix-min of original indexes over the start-sorted order
+    sufmin = np.minimum.accumulate(order[::-1])[::-1]
+    sufmin = np.concatenate([sufmin, [M]])
+    jump = sufmin[np.searchsorted(sorted_starts, ends, side="left")]
+    jump = np.concatenate([jump, [M]])  # sentinel self-loop target
+    mark = np.zeros(M + 1, dtype=bool)
+    mark[0] = True
+    while True:
+        new = jump[np.nonzero(mark)[0]]
+        before = mark.sum()
+        mark[new] = True
+        if mark.sum() == before:
+            break
+        jump = jump[jump]
+    mark[M] = False
+    return np.nonzero(mark)[0]
+
+
 def resolve(
     pids: np.ndarray,
     starts: np.ndarray,
@@ -73,36 +119,27 @@ def resolve(
     ``leftmost_longest``.  Inputs must be in (end asc, len desc, pid asc)
     order, as produced by :func:`expand_occurrences`.
     """
-    n = len(pids)
     if overlapping:
-        return [
-            (int(pids[i]), int(starts[i]), int(ends[i])) for i in range(n)
-        ]
-    if n == 0:
+        return list(
+            zip(pids.tolist(), starts.tolist(), ends.tolist())
+        )
+    if len(pids) == 0:
         return []
 
     if kind == "standard":
-        # Already sorted by (end asc, start asc) — within one end position,
-        # longer pattern == smaller start.  Greedy restart sweep.
-        result = []
-        cur = 0
-        for i in range(n):
-            if starts[i] >= cur:
-                result.append((int(pids[i]), int(starts[i]), int(ends[i])))
-                cur = int(ends[i])
-        return result
-
-    if kind == "leftmost_first":
+        # Already in priority order: (end asc, start asc) — within one end
+        # position, longer pattern == smaller start.
+        order = None
+    elif kind == "leftmost_first":
         order = np.lexsort((pids, starts))
     elif kind == "leftmost_longest":
         order = np.lexsort((pids, starts - ends, starts))
     else:  # pragma: no cover - internal misuse
         raise ValueError(f"unknown match kind: {kind}")
 
-    result = []
-    cur = 0
-    for i in order:
-        if starts[i] >= cur:
-            result.append((int(pids[i]), int(starts[i]), int(ends[i])))
-            cur = int(ends[i])
-    return result
+    if order is not None:
+        pids, starts, ends = pids[order], starts[order], ends[order]
+    keep = _greedy_chain_indexes(starts, ends)
+    return list(
+        zip(pids[keep].tolist(), starts[keep].tolist(), ends[keep].tolist())
+    )

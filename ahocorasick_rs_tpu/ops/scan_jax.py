@@ -1,20 +1,27 @@
 """Device (XLA/TPU) scan tier.
 
 Single-chip JAX formulation of the halo'd lane scan (see ``scan_host.py`` for
-the exactness argument).  The haystack is laid out as ``L`` independent
-lanes, each prefixed with ``max_len - 1`` bytes of left context; one
-``lax.scan`` over the time axis advances all lanes with a single vectorized
-table gather per step — the device analogue of the reference's
-one-lookup-per-byte hot loop (/root/reference/src/lib.rs:240-246).
+the exactness argument).  The haystack crosses to the device as raw ``uint8``
+(measured: host→device bandwidth is the scarcest resource); everything else
+happens in one jitted computation:
 
-Match output is compacted on device to a fixed-capacity ``(positions,
-states)`` buffer plus an exact total count; the caller retries with a larger
-capacity on overflow (SURVEY.md §7 "ragged match output" plan), so only
-O(matches) bytes cross the device→host boundary, never the O(n) state
-stream.
+1. **Lane build**: widen to int32, mark the padded tail with ``PAD_BYTE``,
+   and materialise ``[L, halo + T]`` lanes where lane ``l``'s halo is the
+   ``halo`` bytes preceding its segment.  The halo block is a reshape trick —
+   ``concat([PAD*halo, flat])[:L*T].reshape(L, T)[:, :halo]`` — no gather.
+2. **Scan**: ``lax.scan`` over the time axis; each step advances all ``L``
+   lanes with one vectorized table gather (the device analogue of the
+   reference's one-lookup-per-byte loop, /root/reference/src/lib.rs:240-246).
+   TPU sustains hundreds of giga-lookups/s here, so wide-and-short layouts
+   win: lanes are sized so the time axis stays in the hundreds.
+3. **Compaction**: matched ``(position, state)`` pairs are compacted on
+   device into a fixed-capacity buffer plus an exact count; the caller
+   retries with a larger capacity on overflow (SURVEY.md §7 ragged-output
+   plan).  Only O(matches) bytes ever return to the host — never the O(n)
+   state stream.
 
-Shapes are bucketed (lane count fixed, time axis rounded up to a power of
-two) so hypothesis-style workloads don't compile a kernel per length.
+Shapes are bucketed (power-of-two time axis, fixed lane count per bucket) so
+varying haystack lengths reuse compiled kernels.
 """
 
 from __future__ import annotations
@@ -27,50 +34,82 @@ import jax
 import jax.numpy as jnp
 
 from ..models.automaton import Automaton, PAD_BYTE
-from .scan_host import make_lanes
 
-#: default lane count for the single-chip device scan.
-DEFAULT_LANES = 1024
+#: target time-axis length; lanes are derived from it.  Short-and-wide
+#: layouts amortize per-step overhead (measured optimum T ≈ 256–1024).
+TARGET_TIME = 512
+#: lane-count bounds for the single-chip scan.
+MIN_LANES = 8
+MAX_LANES = 1 << 16
 #: haystack bytes per device segment; larger inputs stream through
-#: independent halo'd segments, bounding HBM for the [L, T] state buffer.
-SEGMENT_BYTES = 64 << 20
+#: independent halo'd segments, bounding HBM for the [T, L] state buffer.
+SEGMENT_BYTES = 256 << 20
 
 
-@partial(jax.jit, static_argnames=("halo", "cap", "use_classes"))
-def _scan_compact(table, classes, ext, match_count, n, halo, cap, use_classes):
-    """Scan halo'd lanes and compact matched (position, state) pairs.
+def build_lanes(flat: jnp.ndarray, L: int, T: int, halo: int, n) -> jnp.ndarray:
+    """In-jit halo'd lane construction from a flat int32 byte stream.
 
-    ext: int32 [L, halo + T]; returns (positions[cap], states[cap], total).
-    Positions are global 0-based byte indexes (lane-major layout), -1 fill.
+    ``flat`` has length ``L*T``; positions >= ``n`` are forced to
+    ``PAD_BYTE`` (whose transition column is all-root).  Requires
+    ``halo <= T``.
     """
-    L, HT = ext.shape
-    T = HT - halo
-    if use_classes:
-        ext = classes[ext]
+    idx = jnp.arange(L * T, dtype=jnp.int32)
+    flat = jnp.where(idx < n, flat, PAD_BYTE)
+    pf = jnp.concatenate(
+        [jnp.full((halo,), PAD_BYTE, jnp.int32), flat]
+    )
+    halos = pf[: L * T].reshape(L, T)[:, :halo]
+    return jnp.concatenate([halos, flat.reshape(L, T)], axis=1)
+
+
+def scan_lanes(table: jnp.ndarray, ext: jnp.ndarray, halo: int):
+    """Advance all lanes over ``ext``; returns the state stream ``[L, T]``."""
 
     def body(states, col):
         states = table[states, col]
         return states, states
 
-    init = jnp.zeros((L,), jnp.int32)
+    init = jnp.zeros_like(ext[:, 0])
     if halo:
         states, _ = jax.lax.scan(body, init, ext[:, :halo].T)
     else:
         states = init
-    _, out = jax.lax.scan(body, states, ext[:, halo:].T)  # [T, L]
-    flat = out.T.reshape(-1)  # lane-major == global position order
+    _, out = jax.lax.scan(body, states, ext[:, halo:].T)
+    return out.T  # [L, T]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("L", "T", "halo", "cap", "use_classes"),
+)
+def _scan_compact(table, classes, hay, match_count, n, L, T, halo, cap,
+                  use_classes):
+    """uint8 haystack [L*T] → compacted (positions[cap], states[cap], total)."""
+    flat = hay.astype(jnp.int32)
+    if use_classes:
+        # classes[PAD_BYTE] is the dedicated padding class, so mapping
+        # before lane-build requires mapping PAD after masking; map the
+        # ext instead.
+        ext = build_lanes(flat, L, T, halo, n)
+        ext = classes[ext]
+    else:
+        ext = build_lanes(flat, L, T, halo, n)
+    out = scan_lanes(table, ext, halo)
+    flat_s = out.reshape(-1)
     idx = jnp.arange(L * T, dtype=jnp.int32)
-    matched = (match_count[flat] > 0) & (idx < n)
+    matched = (match_count[flat_s] > 0) & (idx < n)
     total = jnp.sum(matched, dtype=jnp.int32)
     positions = jnp.nonzero(matched, size=cap, fill_value=-1)[0].astype(
         jnp.int32
     )
-    states_at = jnp.where(positions >= 0, flat[jnp.maximum(positions, 0)], -1)
+    states_at = jnp.where(
+        positions >= 0, flat_s[jnp.maximum(positions, 0)], -1
+    )
     return positions, states_at, total
 
 
 class DeviceTables:
-    """Per-automaton cache of device-resident tables."""
+    """Per-automaton cache of device-resident tables + scan state."""
 
     def __init__(self, am: Automaton, engine: str):
         self.engine = engine
@@ -83,6 +122,8 @@ class DeviceTables:
             self.classes = jnp.asarray(am.byte_classes)
             self.use_classes = True
         self.match_count = jnp.asarray(am.match_count)
+        #: adaptive initial compaction capacity (sticky across calls)
+        self.last_cap = 4096
 
 
 def _bucket(x: int, lo: int = 16) -> int:
@@ -92,12 +133,21 @@ def _bucket(x: int, lo: int = 16) -> int:
     return b
 
 
+def choose_layout(m: int, halo: int) -> tuple[int, int]:
+    """Pick (L, T): T a power of two >= halo, L*T >= m, L in bounds."""
+    T = _bucket(max(TARGET_TIME, halo), lo=16)
+    L = max(MIN_LANES, _bucket(-(-m // T), lo=MIN_LANES))
+    if L > MAX_LANES:
+        L = MAX_LANES
+        T = _bucket(max(-(-m // L), halo), lo=16)
+    return L, T
+
+
 def scan_device(
     am: Automaton,
     hay: np.ndarray,
     tables: DeviceTables,
     *,
-    num_lanes: int = DEFAULT_LANES,
     segment_bytes: int = SEGMENT_BYTES,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Scan ``hay`` (uint8 ndarray) on the default JAX device.
@@ -117,25 +167,22 @@ def scan_device(
     for seg_start in range(0, n, seg):
         seg_end = min(n, seg_start + seg)
         ctx_start = max(0, seg_start - halo)
-        chunk = np.asarray(hay[ctx_start:seg_end], dtype=np.int32)
         drop = seg_start - ctx_start  # leading context positions to discard
-        m = len(chunk)
-        L = max(1, min(num_lanes, -(-m // max(128, halo))))
-        T = _bucket(-(-m // L))
-        # Pad the chunk to exactly L*T so lane l covers flat positions
-        # [l*T, (l+1)*T) and flat index == chunk position.
-        chunk_padded = np.full(L * T, PAD_BYTE, dtype=np.int32)
-        chunk_padded[:m] = chunk
-        ext, _ = make_lanes(chunk_padded, L, halo)
-        ext_d = jnp.asarray(ext)
-        cap = 4096
+        m = seg_end - ctx_start
+        L, T = choose_layout(m, halo)
+        buf = np.zeros(L * T, dtype=np.uint8)
+        buf[:m] = hay[ctx_start:seg_end]
+        hay_dev = jnp.asarray(buf)
+        cap = tables.last_cap
         while True:
             pos, st, total = _scan_compact(
                 tables.table,
                 tables.classes,
-                ext_d,
+                hay_dev,
                 tables.match_count,
                 jnp.int32(m),
+                L,
+                T,
                 halo,
                 cap,
                 tables.use_classes,
@@ -144,6 +191,7 @@ def scan_device(
             if total <= cap:
                 break
             cap = _bucket(total, lo=4096)
+        tables.last_cap = max(4096, _bucket(total, lo=4096))
         pos = np.asarray(pos[:total], dtype=np.int64)
         st = np.asarray(st[:total], dtype=np.int64)
         keep = pos >= drop
