@@ -19,6 +19,11 @@ into flat NumPy tables that device kernels consume:
   order the reference emits same-end-position overlapping matches in
   (/root/reference/tests/test_ac.py:276-288).
 
+The canonical goto representation is the sorted edge CSR (``edge_keys =
+state*257 + byte``, ``edge_targets``), shared by the pure-Python builder and
+the C++ native builder (``native/ac_builder.cpp``); everything else derives
+from it with vectorized NumPy passes.
+
 Because any Aho-Corasick state's string is at most ``max_len`` bytes long, a
 scan started from the root at position ``p - max_len`` is guaranteed to be in
 the true state at every position ``>= p``.  All device scans exploit this:
@@ -47,11 +52,10 @@ class Automaton:
     All arrays are NumPy; device paths convert (and cache) jnp views lazily.
     """
 
-    # --- core trie/automaton ---
+    # --- core automaton (CSR goto + failure links) ---
     num_states: int
-    #: per-state goto edges as python dicts (byte -> state); kept for the
-    #: tiny-haystack host walk tier and for lazy dense-table builds.
-    goto: list
+    edge_keys: np.ndarray  # int64 [E], sorted; key = state*257 + byte
+    edge_targets: np.ndarray  # int32 [E]
     fail: np.ndarray  # int32 [S]
     depth: np.ndarray  # int32 [S]
 
@@ -66,11 +70,13 @@ class Automaton:
     pattern_lens: np.ndarray  # int32 [P] (byte lengths)
     max_len: int  # longest pattern in bytes (halo size driver)
 
+    # --- optional python-walk accelerator (built by the python builder) ---
+    goto: Optional[list] = field(default=None, repr=False)
+
     # --- lazily built engine tables ---
-    _delta: Optional[np.ndarray] = field(default=None, repr=False)  # int32 [S,257]
-    _byte_classes: Optional[np.ndarray] = field(default=None, repr=False)  # i32 [257]
+    _delta: Optional[np.ndarray] = field(default=None, repr=False)
+    _byte_classes: Optional[np.ndarray] = field(default=None, repr=False)
     _delta_classed: Optional[np.ndarray] = field(default=None, repr=False)
-    _sparse: Optional[tuple] = field(default=None, repr=False)
 
     # ------------------------------------------------------------------
     # Dense DFA table (Implementation.DFA analogue)
@@ -82,22 +88,38 @@ class Automaton:
         ``delta[s, b]`` is the failure-resolved transition, i.e. the longest
         suffix of (string(s) + byte b) that is a trie node.  Column
         ``PAD_BYTE`` is all-root.
+
+        Built level-by-level over BFS depth: every state first inherits its
+        failure state's whole row (a vectorized fancy-index copy per level),
+        then its own goto edges overwrite — the classic subset construction,
+        but with NumPy doing rows in bulk instead of a per-state loop.
         """
         if self._delta is None:
             S = self.num_states
             delta = np.zeros((S, 257), dtype=np.int32)
-            # Root row: default root, then its own edges.
-            for b, v in self.goto[0].items():
-                delta[0, b] = v
-            # BFS order == increasing depth, so fail[u] is always finished.
-            order = np.argsort(self.depth, kind="stable")
-            for u in order[1:]:
-                row = delta[self.fail[u]].copy()
-                g = self.goto[u]
-                if g:
-                    row[list(g.keys())] = list(g.values())
-                row[PAD_BYTE] = 0
-                delta[u] = row
+            e_state = (self.edge_keys // 257).astype(np.int64)
+            e_byte = (self.edge_keys % 257).astype(np.int64)
+            edge_depth = self.depth[e_state]
+            max_d = int(self.depth.max()) if S > 1 else 0
+            states_by_depth = np.argsort(self.depth, kind="stable")
+            level_bounds = np.searchsorted(
+                self.depth[states_by_depth], np.arange(max_d + 2)
+            )
+            edges_by_depth = np.argsort(edge_depth, kind="stable")
+            e_level_bounds = np.searchsorted(
+                edge_depth[edges_by_depth], np.arange(max_d + 2)
+            )
+            for d in range(max_d + 1):
+                if d > 0:
+                    lvl = states_by_depth[
+                        level_bounds[d] : level_bounds[d + 1]
+                    ]
+                    delta[lvl] = delta[self.fail[lvl]]
+                    delta[lvl, PAD_BYTE] = 0
+                sel = edges_by_depth[
+                    e_level_bounds[d] : e_level_bounds[d + 1]
+                ]
+                delta[e_state[sel], e_byte[sel]] = self.edge_targets[sel]
             self._delta = delta
         return self._delta
 
@@ -114,14 +136,18 @@ class Automaton:
         byte always gets its own dedicated final class.
         """
         if self._byte_classes is None:
-            per_byte: dict[int, list] = {}
-            for u, g in enumerate(self.goto):
-                for b, v in g.items():
-                    per_byte.setdefault(b, []).append((u, v))
-            sig_to_class: dict[tuple, int] = {(): 0}
+            e_byte = (self.edge_keys % 257).astype(np.int64)
+            order = np.argsort(e_byte, kind="stable")  # stable: state asc
+            by_b = e_byte[order]
+            bounds = np.searchsorted(by_b, np.arange(257))
+            bounds = np.append(bounds, len(by_b))
+            src = (self.edge_keys // 257).astype(np.int64)[order]
+            tgt = self.edge_targets[order]
+            sig_to_class: dict[bytes, int] = {b"": 0}
             classes = np.zeros(257, dtype=np.int32)
             for b in range(256):
-                sig = tuple(per_byte.get(b, ()))
+                lo, hi = bounds[b], bounds[b + 1]
+                sig = src[lo:hi].tobytes() + tgt[lo:hi].tobytes()
                 cid = sig_to_class.setdefault(sig, len(sig_to_class))
                 classes[b] = cid
             classes[PAD_BYTE] = len(sig_to_class)
@@ -146,30 +172,12 @@ class Automaton:
         return self._delta_classed
 
     # ------------------------------------------------------------------
-    # Sparse CSR representation (Implementation.NoncontiguousNFA analogue)
+    # Sparse CSR view (Implementation.NoncontiguousNFA analogue)
     # ------------------------------------------------------------------
     @property
     def sparse(self) -> tuple:
-        """``(keys_int64_sorted, targets_int32, fail_int32)``.
-
-        ``keys = state * 257 + byte`` sorted ascending; lookup by binary
-        search, with failure-link walking done by the scan kernels.  This is
-        the fast-build / low-memory / slow-search engine: the dense table is
-        never materialised.
-        """
-        if self._sparse is None:
-            n_edges = sum(len(g) for g in self.goto)
-            keys = np.empty(n_edges, dtype=np.int64)
-            targets = np.empty(n_edges, dtype=np.int32)
-            i = 0
-            for u, g in enumerate(self.goto):
-                for b, v in g.items():
-                    keys[i] = u * 257 + b
-                    targets[i] = v
-                    i += 1
-            order = np.argsort(keys)
-            self._sparse = (keys[order], targets[order], self.fail)
-        return self._sparse
+        """``(keys_int64_sorted, targets_int32, fail_int32)``."""
+        return (self.edge_keys, self.edge_targets, self.fail)
 
     # ------------------------------------------------------------------
     def stats(self) -> dict:
@@ -178,6 +186,7 @@ class Automaton:
             "num_states": self.num_states,
             "num_patterns": self.num_patterns,
             "max_pattern_len": self.max_len,
+            "num_edges": len(self.edge_keys),
             "match_entries": int(self.match_offsets[-1]),
             "dense_table_bytes": self.num_states * 257 * 4,
             "classed_table_bytes": self.num_states * self.num_classes * 4,
@@ -185,14 +194,42 @@ class Automaton:
         }
 
 
-def build_automaton(patterns: Sequence[bytes]) -> Automaton:
-    """Compile byte patterns into an :class:`Automaton`.
+def _finalize(
+    edge_keys: np.ndarray,
+    edge_targets: np.ndarray,
+    fail: np.ndarray,
+    depth: np.ndarray,
+    match_offsets: np.ndarray,
+    match_pids: np.ndarray,
+    pattern_lens: np.ndarray,
+    goto: Optional[list],
+) -> Automaton:
+    S = len(fail)
+    counts = np.diff(match_offsets).astype(np.int32)
+    match_lens = (
+        pattern_lens[match_pids]
+        if len(match_pids)
+        else np.zeros(0, dtype=np.int32)
+    )
+    return Automaton(
+        num_states=S,
+        edge_keys=edge_keys,
+        edge_targets=edge_targets,
+        fail=fail,
+        depth=depth,
+        match_offsets=match_offsets,
+        match_pids=match_pids,
+        match_lens=match_lens,
+        match_count=counts,
+        num_patterns=len(pattern_lens),
+        pattern_lens=pattern_lens,
+        max_len=int(pattern_lens.max()) if len(pattern_lens) else 1,
+        goto=goto,
+    )
 
-    Replaces the reference's trie-insert + BFS-failure-link construction
-    (crate internals reached via /root/reference/src/lib.rs:186-215) with a
-    host-side build that produces flat tables.  Patterns must be non-empty;
-    the API layer enforces the reference's exact error messages.
-    """
+
+def build_automaton_py(patterns: Sequence[bytes]) -> Automaton:
+    """Pure-Python reference builder (used for small sets and as oracle)."""
     goto: list[dict[int, int]] = [{}]
     depth_l: list[int] = [0]
     out: list[list[int]] = [[]]  # per-node pattern ids ending exactly here
@@ -217,7 +254,6 @@ def build_automaton(patterns: Sequence[bytes]) -> Automaton:
     # BFS failure links.
     queue: deque[int] = deque()
     for b, v in goto[0].items():
-        fail[v] = 0
         queue.append(v)
     while queue:
         u = queue.popleft()
@@ -231,7 +267,7 @@ def build_automaton(patterns: Sequence[bytes]) -> Automaton:
                     fail[v] = nxt
                     break
                 if f == 0:
-                    fail[v] = 0 if nxt is None or nxt == v else nxt
+                    fail[v] = 0
                     break
                 f = int(fail[f])
 
@@ -248,26 +284,47 @@ def build_automaton(patterns: Sequence[bytes]) -> Automaton:
         inherited = matches[int(fail[u])] if u != 0 else ()
         matches[u] = own + inherited if own else inherited
 
-    counts = np.asarray([len(m) for m in matches], dtype=np.int32)
     offsets = np.zeros(S + 1, dtype=np.int64)
-    np.cumsum(counts, out=offsets[1:])
+    np.cumsum([len(m) for m in matches], out=offsets[1:])
     match_pids = np.asarray(
         [pid for m in matches for pid in m], dtype=np.int32
     )
-    match_lens = pattern_lens[match_pids] if len(match_pids) else np.zeros(
-        0, dtype=np.int32
+
+    n_edges = sum(len(g) for g in goto)
+    keys = np.empty(n_edges, dtype=np.int64)
+    targets = np.empty(n_edges, dtype=np.int32)
+    i = 0
+    for u, g in enumerate(goto):
+        for b, v in g.items():
+            keys[i] = u * 257 + b
+            targets[i] = v
+            i += 1
+    order = np.argsort(keys)
+
+    return _finalize(
+        keys[order],
+        targets[order],
+        fail,
+        depth,
+        offsets,
+        match_pids,
+        pattern_lens,
+        goto,
     )
 
-    return Automaton(
-        num_states=S,
-        goto=goto,
-        fail=fail,
-        depth=depth,
-        match_offsets=offsets,
-        match_pids=match_pids,
-        match_lens=match_lens,
-        match_count=counts,
-        num_patterns=len(patterns),
-        pattern_lens=pattern_lens,
-        max_len=int(pattern_lens.max()) if len(pattern_lens) else 1,
-    )
+
+def build_automaton(patterns: Sequence[bytes]) -> Automaton:
+    """Compile byte patterns into an :class:`Automaton`.
+
+    Dispatches to the C++ native builder when available (the analogue of the
+    reference keeping construction in native code); falls back to the
+    pure-Python builder otherwise.
+    """
+    patterns = list(patterns)
+    total = sum(len(p) for p in patterns)
+    if total >= 1 << 14:
+        from . import native
+
+        if native.available():
+            return native.build_automaton_native(patterns)
+    return build_automaton_py(patterns)

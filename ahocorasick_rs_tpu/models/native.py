@@ -1,0 +1,136 @@
+"""ctypes loader for the C++ native builder (``native/ac_builder.cpp``).
+
+Compiles the shared library on first use (cached beside the source) and
+exposes :func:`build_automaton_native`, producing byte-identical tables to
+the pure-Python builder — asserted by ``tests/test_native_builder.py``.
+Falls back gracefully (``available() -> False``) if no compiler is present.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Sequence
+
+import numpy as np
+
+from .automaton import Automaton, _finalize
+
+_SRC = os.path.join(
+    os.path.dirname(os.path.dirname(__file__)), "native", "ac_builder.cpp"
+)
+_LIB_PATH = os.path.join(os.path.dirname(_SRC), "libac_builder.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_load_failed = False
+
+_i8p = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
+_i32p = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
+_i64p = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
+
+
+def _compile() -> bool:
+    try:
+        subprocess.run(
+            [
+                "g++",
+                "-O2",
+                "-march=native",
+                "-shared",
+                "-fPIC",
+                "-o",
+                _LIB_PATH,
+                _SRC,
+            ],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _load_failed
+    with _lock:
+        if _lib is not None or _load_failed:
+            return _lib
+        if not os.path.exists(_LIB_PATH) or os.path.getmtime(
+            _LIB_PATH
+        ) < os.path.getmtime(_SRC):
+            if not _compile():
+                _load_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            _load_failed = True
+            return None
+        lib.ac_build.restype = ctypes.c_void_p
+        lib.ac_build.argtypes = [_i8p, _i64p, ctypes.c_int64]
+        for name in ("ac_num_states", "ac_num_edges", "ac_num_match_entries"):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [ctypes.c_void_p]
+        lib.ac_max_len.restype = ctypes.c_int32
+        lib.ac_max_len.argtypes = [ctypes.c_void_p]
+        lib.ac_export.restype = None
+        lib.ac_export.argtypes = [ctypes.c_void_p, _i32p, _i32p, _i64p, _i32p]
+        lib.ac_export_edges.restype = None
+        lib.ac_export_edges.argtypes = [ctypes.c_void_p, _i64p, _i32p]
+        lib.ac_build_dense.restype = None
+        lib.ac_build_dense.argtypes = [ctypes.c_void_p, _i32p]
+        lib.ac_free.restype = None
+        lib.ac_free.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def build_automaton_native(patterns: Sequence[bytes]) -> Automaton:
+    lib = _load()
+    assert lib is not None
+    data = np.frombuffer(b"".join(patterns), dtype=np.uint8)
+    if len(data) == 0:
+        data = np.zeros(1, dtype=np.uint8)  # non-null pointer for ctypes
+    lens = np.asarray([len(p) for p in patterns], dtype=np.int64)
+    handle = lib.ac_build(data, lens, len(patterns))
+    try:
+        S = lib.ac_num_states(handle)
+        E = lib.ac_num_edges(handle)
+        M = lib.ac_num_match_entries(handle)
+        fail = np.empty(S, dtype=np.int32)
+        depth = np.empty(S, dtype=np.int32)
+        match_offsets = np.empty(S + 1, dtype=np.int64)
+        match_pids = np.empty(max(M, 1), dtype=np.int32)
+        lib.ac_export(handle, fail, depth, match_offsets, match_pids)
+        keys = np.empty(max(E, 1), dtype=np.int64)
+        targets = np.empty(max(E, 1), dtype=np.int32)
+        lib.ac_export_edges(handle, keys, targets)
+        am = _finalize(
+            keys[:E],
+            targets[:E],
+            fail,
+            depth,
+            match_offsets,
+            match_pids[:M],
+            lens.astype(np.int32),
+            goto=None,
+        )
+        # Prebuild the dense table in native code when it's small enough
+        # that the auto heuristic will pick the DFA engine anyway; larger
+        # sets derive tables lazily from the CSR (vectorized NumPy).
+        if S * 257 * 4 <= (64 << 20):
+            delta = np.zeros((S, 257), dtype=np.int32)
+            lib.ac_build_dense(handle, delta)
+            am._delta = delta
+        return am
+    finally:
+        lib.ac_free(handle)

@@ -1,0 +1,198 @@
+// Native Aho-Corasick table builder.
+//
+// TPU-native counterpart of the reference's in-native-code automaton
+// construction (the aho-corasick crate reached via
+// /root/reference/src/lib.rs:186-215): trie insertion, BFS failure links,
+// match-set propagation, and dense transition-table emission, producing the
+// exact flat arrays `models/automaton.py` defines.  The Python builder is
+// the semantics oracle; this one exists so million-pattern sets compile in
+// seconds instead of minutes.
+//
+// Exposed as a plain C ABI consumed through ctypes
+// (`models/native.py`).  Build: g++ -O2 -shared -fPIC.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct Builder {
+  // trie: per-node sorted (byte, target) edge list; fanout is tiny in
+  // practice, so insertion into a small sorted vector beats hashing.
+  std::vector<std::vector<std::pair<uint8_t, int32_t>>> edges;
+  std::vector<int32_t> fail;
+  std::vector<int32_t> depth;
+  std::vector<std::vector<int32_t>> own;  // pattern ids ending at node
+  // flattened match CSR (filled by finalize)
+  std::vector<int64_t> match_offsets;
+  std::vector<int32_t> match_pids;
+  int32_t max_len = 1;
+  int64_t n_edges = 0;
+
+  int32_t child(int32_t node, uint8_t b) const {
+    const auto &e = edges[node];
+    auto it = std::lower_bound(
+        e.begin(), e.end(), b,
+        [](const std::pair<uint8_t, int32_t> &p, uint8_t v) {
+          return p.first < v;
+        });
+    if (it != e.end() && it->first == b) return it->second;
+    return -1;
+  }
+
+  int32_t insert_child(int32_t node, uint8_t b) {
+    auto &e = edges[node];
+    auto it = std::lower_bound(
+        e.begin(), e.end(), b,
+        [](const std::pair<uint8_t, int32_t> &p, uint8_t v) {
+          return p.first < v;
+        });
+    if (it != e.end() && it->first == b) return it->second;
+    int32_t id = static_cast<int32_t>(edges.size());
+    e.insert(it, {b, id});
+    edges.emplace_back();
+    depth.push_back(depth[node] + 1);
+    own.emplace_back();
+    ++n_edges;
+    return id;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void *ac_build(const uint8_t *data, const int64_t *lens, int64_t n_patterns) {
+  auto *b = new Builder();
+  b->edges.emplace_back();
+  b->depth.push_back(0);
+  b->own.emplace_back();
+
+  const uint8_t *p = data;
+  for (int64_t i = 0; i < n_patterns; ++i) {
+    int32_t node = 0;
+    for (int64_t j = 0; j < lens[i]; ++j) node = b->insert_child(node, p[j]);
+    b->own[node].push_back(static_cast<int32_t>(i));
+    if (lens[i] > b->max_len) b->max_len = static_cast<int32_t>(lens[i]);
+    p += lens[i];
+  }
+
+  const size_t S = b->edges.size();
+  b->fail.assign(S, 0);
+
+  // BFS failure links + match propagation in one queue pass.  Match lists
+  // are matches(v) = own(v) ++ matches(fail(v)); since fail(v) is processed
+  // before v (strictly shallower), its full list is final — store per-node
+  // (head into a shared pool) to avoid quadratic copies?  Lists can share
+  // only suffixes; we materialize per node since totals stay modest
+  // (sum over nodes of suffix-match counts).
+  std::vector<std::vector<int32_t>> matches(S);
+  std::vector<int32_t> queue;
+  queue.reserve(S);
+  for (auto &e : b->edges[0]) queue.push_back(e.second);
+  for (size_t qi = 0; qi < queue.size(); ++qi) {
+    int32_t u = queue[qi];
+    // matches(u) now final: own (ascending pid) then fail chain's.
+    matches[u].reserve(b->own[u].size() + matches[b->fail[u]].size());
+    matches[u].insert(matches[u].end(), b->own[u].begin(), b->own[u].end());
+    const auto &fm = matches[b->fail[u]];
+    matches[u].insert(matches[u].end(), fm.begin(), fm.end());
+    for (auto &e : b->edges[u]) {
+      uint8_t c = e.first;
+      int32_t v = e.second;
+      queue.push_back(v);
+      int32_t f = b->fail[u];
+      for (;;) {
+        int32_t nxt = b->child(f, c);
+        if (nxt >= 0 && nxt != v) {
+          b->fail[v] = nxt;
+          break;
+        }
+        if (f == 0) {
+          b->fail[v] = 0;
+          break;
+        }
+        f = b->fail[f];
+      }
+    }
+  }
+  // root match list (patterns can't be empty, so it's empty) + flatten CSR
+  b->match_offsets.assign(S + 1, 0);
+  for (size_t s = 0; s < S; ++s)
+    b->match_offsets[s + 1] = b->match_offsets[s] +
+                              static_cast<int64_t>(matches[s].size());
+  b->match_pids.reserve(static_cast<size_t>(b->match_offsets[S]));
+  for (size_t s = 0; s < S; ++s)
+    b->match_pids.insert(b->match_pids.end(), matches[s].begin(),
+                         matches[s].end());
+  return b;
+}
+
+int64_t ac_num_states(void *h) {
+  return static_cast<int64_t>(static_cast<Builder *>(h)->edges.size());
+}
+
+int64_t ac_num_edges(void *h) {
+  return static_cast<Builder *>(h)->n_edges;
+}
+
+int64_t ac_num_match_entries(void *h) {
+  return static_cast<int64_t>(static_cast<Builder *>(h)->match_pids.size());
+}
+
+int32_t ac_max_len(void *h) { return static_cast<Builder *>(h)->max_len; }
+
+// Fill fail/depth/match arrays (caller allocates to the sizes above).
+void ac_export(void *h, int32_t *fail, int32_t *depth, int64_t *match_offsets,
+               int32_t *match_pids) {
+  auto *b = static_cast<Builder *>(h);
+  const size_t S = b->edges.size();
+  std::memcpy(fail, b->fail.data(), S * sizeof(int32_t));
+  std::memcpy(depth, b->depth.data(), S * sizeof(int32_t));
+  std::memcpy(match_offsets, b->match_offsets.data(),
+              (S + 1) * sizeof(int64_t));
+  if (!b->match_pids.empty())
+    std::memcpy(match_pids, b->match_pids.data(),
+                b->match_pids.size() * sizeof(int32_t));
+}
+
+// Export sorted edge CSR: key = state*257 + byte (edges are stored sorted
+// per state, and states ascend, so emission order is already key-sorted).
+void ac_export_edges(void *h, int64_t *keys, int32_t *targets) {
+  auto *b = static_cast<Builder *>(h);
+  int64_t i = 0;
+  for (size_t u = 0; u < b->edges.size(); ++u)
+    for (auto &e : b->edges[u]) {
+      keys[i] = static_cast<int64_t>(u) * 257 + e.first;
+      targets[i] = e.second;
+      ++i;
+    }
+}
+
+// Dense [S, 257] failure-resolved table; column 256 (PAD) stays 0 (root).
+void ac_build_dense(void *h, int32_t *delta) {
+  auto *b = static_cast<Builder *>(h);
+  const size_t S = b->edges.size();
+  // BFS order again (children after parents, fail rows ready).
+  std::vector<int32_t> order;
+  order.reserve(S);
+  order.push_back(0);
+  for (size_t qi = 0; qi < order.size(); ++qi)
+    for (auto &e : b->edges[order[qi]]) order.push_back(e.second);
+  for (int32_t u : order) {
+    int32_t *row = delta + static_cast<int64_t>(u) * 257;
+    if (u == 0)
+      std::memset(row, 0, 257 * sizeof(int32_t));
+    else
+      std::memcpy(row, delta + static_cast<int64_t>(b->fail[u]) * 257,
+                  257 * sizeof(int32_t));
+    for (auto &e : b->edges[u]) row[e.first] = e.second;
+    row[256] = 0;
+  }
+}
+
+void ac_free(void *h) { delete static_cast<Builder *>(h); }
+
+}  // extern "C"

@@ -27,22 +27,51 @@ from ..models.automaton import Automaton, PAD_BYTE
 
 
 def scan_python(am: Automaton, hay: bytes) -> tuple[np.ndarray, np.ndarray]:
-    """Sequential goto/fail walk. O(n) with tiny constant-factor setup."""
-    goto = am.goto
+    """Sequential walk. O(n) with tiny constant-factor setup.
+
+    Uses the builder's goto dicts when present (python-built automatons);
+    otherwise walks the dense table if materialized, else the edge CSR.
+    """
     fail = am.fail
     has_match = am.match_count
-    state = 0
     positions: list[int] = []
     states: list[int] = []
-    for i, b in enumerate(hay):
-        nxt = goto[state].get(b)
-        while nxt is None and state:
-            state = int(fail[state])
+    state = 0
+    if am.goto is not None:
+        goto = am.goto
+        for i, b in enumerate(hay):
             nxt = goto[state].get(b)
-        state = nxt if nxt is not None else 0
-        if has_match[state]:
-            positions.append(i)
-            states.append(state)
+            while nxt is None and state:
+                state = int(fail[state])
+                nxt = goto[state].get(b)
+            state = nxt if nxt is not None else 0
+            if has_match[state]:
+                positions.append(i)
+                states.append(state)
+    elif am._delta is not None:
+        delta = am._delta
+        for i, b in enumerate(hay):
+            state = delta[state, b]
+            if has_match[state]:
+                positions.append(i)
+                states.append(int(state))
+    else:
+        keys, targets, _ = am.sparse
+        keys_l = keys  # int64 sorted
+        E = len(keys_l)
+        for i, b in enumerate(hay):
+            while True:
+                k = state * 257 + b
+                j = np.searchsorted(keys_l, k)
+                if j < E and keys_l[j] == k:
+                    state = int(targets[j])
+                    break
+                if state == 0:
+                    break
+                state = int(fail[state])
+            if has_match[state]:
+                positions.append(i)
+                states.append(state)
     return (
         np.asarray(positions, dtype=np.int64),
         np.asarray(states, dtype=np.int64),
