@@ -55,6 +55,8 @@ class _MatcherBase:
     _matchkind: MatchKind
     _implementation: Implementation
     _device_tables = None
+    _teddy = None
+    _teddy_state = "auto"  # "auto" | "off" | "force"
 
     def _build(
         self,
@@ -74,6 +76,7 @@ class _MatcherBase:
                 f"not {implementation!r}"
             )
         self._matchkind = matchkind
+        self._byte_patterns = byte_patterns
         self._automaton = build_automaton(byte_patterns)
         self._implementation = (
             implementation
@@ -127,24 +130,78 @@ class _MatcherBase:
         # device tier
         from .ops import scan_jax
 
+        return scan_jax.scan_device(am, hay, self._get_device_tables())
+
+    # -- prefiltered (Teddy) path --------------------------------------
+    def _try_teddy(self, hay: np.ndarray):
+        """Return the complete occurrence set via the prefiltered scan, or
+        None when the prefilter is off/unprofitable for this matcher."""
+        if self._teddy_state == "off":
+            return None
+        n = len(hay)
+        if self._implementation is Implementation.NoncontiguousNFA:
+            return None
+        if self._teddy_state == "auto":
+            import jax
+
+            if (
+                self._backend not in ("auto", "device")
+                or n < DEVICE_TIER_MIN
+                or jax.default_backend() != "tpu"
+            ):
+                return None
+        if self._teddy is None:
+            from .models.prefilter import build_prefilter
+            from .ops.scan_jax import DeviceTables
+            from .ops.scan_teddy import TeddyScanner
+
+            pf = build_prefilter(self._byte_patterns)
+            if pf is None or (
+                self._teddy_state == "auto" and pf.est_fire_rate > 0.05
+            ):
+                self._teddy_state = "off"
+                return None
+            tables = self._get_device_tables()
+            self._teddy = TeddyScanner(
+                self._automaton,
+                pf,
+                tables.table,
+                tables.classes,
+                tables.match_count,
+                tables.use_classes,
+            )
+        occ = self._teddy.occurrences(hay)
+        if occ is None:
+            # observed fire rate too high on this corpus — stop trying
+            self._teddy_state = "off"
+        return occ
+
+    def _get_device_tables(self):
+        from .ops import scan_jax
+
         if self._device_tables is None:
             engine = (
                 "dfa"
                 if self._implementation is Implementation.DFA
                 else "classed"
             )
-            self._device_tables = scan_jax.DeviceTables(am, engine)
-        return scan_jax.scan_device(am, hay, self._device_tables)
+            self._device_tables = scan_jax.DeviceTables(
+                self._automaton, engine
+            )
+        return self._device_tables
 
     def _find(
         self, hay: np.ndarray, overlapping: bool
     ) -> list[tuple[int, int, int]]:
         if overlapping and self._matchkind is not MatchKind.Standard:
             raise ValueError(_OVERLAPPING_ERROR)
-        positions, states = self._scan(hay)
-        pids, starts, ends = _resolve.expand_occurrences(
-            self._automaton, positions, states
-        )
+        occ = self._try_teddy(hay)
+        if occ is None:
+            positions, states = self._scan(hay)
+            occ = _resolve.expand_occurrences(
+                self._automaton, positions, states
+            )
+        pids, starts, ends = occ
         return _resolve.resolve(
             pids,
             starts,

@@ -1,0 +1,237 @@
+"""Prefiltered scan: Pallas Teddy fire kernel + exact windowed verification.
+
+Pipeline (device):
+
+1. **Fire kernel** (Pallas): the haystack, laid out ``[R, 128]`` row-major
+   (position = row*128 + lane), streams through VMEM blocks.  Per block the
+   kernel computes Teddy's ``AND_k tables_k[h[i+k]]`` with in-register
+   128-lane shuffles (``take_along_axis(axis=1)`` — the TPU's PSHUFB) and
+   static lane rolls — no gathers.  Block-boundary rolls wrap, so the last
+   ``m-1`` positions of each block are force-fired; verification discards
+   false fires, so wrap-around can only over-fire, never miss.
+2. **Compaction**: fire positions are compacted on device (capacity +
+   exact-count retry, as in ``scan_jax``).
+3. **Verification**: every fire position ``i`` is a *candidate match start*.
+   Windows ``hay[i : i+max_len]`` are gathered into lanes and walked from
+   the root with the engine's transition table; a window match of length
+   ``j`` at step ``j`` has start exactly ``i``.  Each true occurrence fires
+   at its start, lands in exactly one window, and is emitted exactly once.
+
+The result is the complete occurrence set (pids, starts, ends) in canonical
+(end asc, len desc, pid asc) order — identical to the dense scan's output.
+Gather cost now scales with *matches*, not haystack bytes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.automaton import Automaton, PAD_BYTE
+from ..models.prefilter import Prefilter
+
+#: rows per fire-kernel block (R*128 bytes of haystack per block)
+BLOCK_ROWS = 2048
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _leftroll(x: jnp.ndarray, k: int, R: int) -> jnp.ndarray:
+    """y[p] = x[p + k] over row-major [R, 128], wrapping within the block."""
+    a = pltpu.roll(x, 128 - k, 1)
+    b = pltpu.roll(x, R - 1, 0)
+    c = pltpu.roll(b, 128 - k, 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(lane >= 128 - k, c, a)
+
+
+def _fire_kernel(tabs_ref, x_ref, out_ref):
+    x = x_ref[:]  # [R, 128] uint8
+    R = x.shape[0]
+    t = tabs_ref[:]  # [8, 128] int32 nibble tables
+    lo = (x & jnp.uint8(15)).astype(jnp.int32)
+    hi = x.astype(jnp.int32) >> 4
+
+    def lut(row, idx):
+        tab = jnp.broadcast_to(t[row : row + 1, :], idx.shape)
+        return jnp.take_along_axis(tab, idx, axis=1)
+
+    fire = lut(0, lo) & lut(1, hi)
+    fire = fire & _leftroll(lut(2, lo) & lut(3, hi), 1, R)
+    fire = fire & _leftroll(lut(4, lo) & lut(5, hi), 2, R)
+    # Force-fire the block's last m-1 positions (roll wrap-around zone).
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    pos = row * 128 + lane
+    fire = jnp.where(pos >= R * 128 - 2, jnp.int32(-1), fire)
+    out_ref[:] = (fire != 0).astype(jnp.uint8)
+
+
+def fire_mask(tables: jnp.ndarray, hay2d: jnp.ndarray) -> jnp.ndarray:
+    """uint8 [Rtot, 128] fire mask for a row-major haystack layout."""
+    Rtot = hay2d.shape[0]
+    R = min(BLOCK_ROWS, Rtot)
+    nblk = Rtot // R
+    return pl.pallas_call(
+        _fire_kernel,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (R, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((Rtot, 128), jnp.uint8),
+        interpret=_use_interpret(),
+    )(tables, hay2d)
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def _fire_positions(tables, hay2d, n, cap):
+    mask = fire_mask(tables, hay2d).reshape(-1)
+    idx = jnp.arange(mask.shape[0], dtype=jnp.int32)
+    fired = (mask != 0) & (idx < n)
+    total = jnp.sum(fired, dtype=jnp.int32)
+    pos = jnp.nonzero(fired, size=cap, fill_value=-1)[0].astype(jnp.int32)
+    return pos, total
+
+
+@partial(jax.jit, static_argnames=("W", "cap", "use_classes"))
+def _verify_windows(table, classes, hay_flat, fire_pos, match_count, n, W,
+                    cap, use_classes):
+    """Walk max_len windows from each fire position; compact match steps.
+
+    hay_flat: int32 haystack (padded); fire_pos: int32 [M] (-1 padded).
+    Returns (win_idx[cap], step[cap], state[cap], total).
+    """
+    M = fire_pos.shape[0]
+    col = jnp.arange(W, dtype=jnp.int32)[None, :]
+    src = jnp.maximum(fire_pos, 0)[:, None] + col
+    in_range = (src < n) & (fire_pos[:, None] >= 0)
+    src_c = jnp.minimum(src, hay_flat.shape[0] - 1)
+    ext = jnp.where(in_range, hay_flat[src_c], PAD_BYTE)
+    if use_classes:
+        ext = classes[ext]
+
+    def body(states, colv):
+        states = table[states, colv]
+        return states, states
+
+    _, out = jax.lax.scan(body, jnp.zeros((M,), jnp.int32), ext.T)
+    states = out.T  # [M, W]
+    matched = match_count[states] > 0
+    flat = matched.reshape(-1)
+    total = jnp.sum(flat, dtype=jnp.int32)
+    sel = jnp.nonzero(flat, size=cap, fill_value=-1)[0].astype(jnp.int32)
+    win = jnp.where(sel >= 0, sel // W, -1)
+    step = jnp.where(sel >= 0, sel % W, 0)
+    st = states.reshape(-1)[jnp.maximum(sel, 0)]
+    return win, step, st, total
+
+
+def _bucket(x: int, lo: int = 1024) -> int:
+    b = lo
+    while b < x:
+        b <<= 1
+    return b
+
+
+class TeddyScanner:
+    """Per-automaton prefiltered scanner (device tables + adaptive state)."""
+
+    def __init__(self, am: Automaton, pf: Prefilter, table, classes,
+                 match_count, use_classes: bool):
+        self.am = am
+        self.tables = jnp.asarray(pf.tables)
+        self.table = table
+        self.classes = classes
+        self.match_count = match_count
+        self.use_classes = use_classes
+        self.fire_cap = 1 << 14
+        self.match_cap = 1 << 12
+        #: set False after a scan observes a pathological fire rate
+        self.worthwhile = True
+
+    def occurrences(
+        self, hay: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+        """Complete (pids, starts, ends) for the haystack, or None when the
+        observed fire rate says the dense scan should take over."""
+        am = self.am
+        n = len(hay)
+        W = am.max_len
+        rows = -(-max(n, 1) // 128)
+        R = min(BLOCK_ROWS, _bucket(rows, lo=8))
+        rows_p = max(R, _bucket(rows, lo=8))  # power-of-two block count
+        buf = np.zeros(rows_p * 128, dtype=np.uint8)
+        buf[:n] = hay
+        hay2d = jnp.asarray(buf.reshape(rows_p, 128))
+        cap = self.fire_cap
+        while True:
+            pos, total = _fire_positions(self.tables, hay2d, jnp.int32(n),
+                                         cap)
+            total = int(total)
+            if total <= cap:
+                break
+            cap = _bucket(total)
+        self.fire_cap = max(1 << 14, _bucket(total))
+        if total > max(4096, n // 8):
+            # prefilter not selective on this corpus — let caller fall back
+            self.worthwhile = False
+            return None
+        fire_pos = pos[:_bucket(max(total, 1))]
+        hay_flat = hay2d.reshape(-1).astype(jnp.int32)
+        cap2 = self.match_cap
+        while True:
+            win, step, st, mtotal = _verify_windows(
+                self.table,
+                self.classes,
+                hay_flat,
+                fire_pos,
+                self.match_count,
+                jnp.int32(n),
+                W,
+                cap2,
+                self.use_classes,
+            )
+            mtotal = int(mtotal)
+            if mtotal <= cap2:
+                break
+            cap2 = _bucket(mtotal)
+        self.match_cap = max(1 << 12, _bucket(mtotal))
+        win = np.asarray(win[:mtotal], dtype=np.int64)
+        step = np.asarray(step[:mtotal], dtype=np.int64)
+        st = np.asarray(st[:mtotal], dtype=np.int64)
+        fire_np = np.asarray(fire_pos, dtype=np.int64)
+        # Host: CSR-expand candidate states, keep only len == step+1
+        # (match start == window start == fire position).
+        cnt = am.match_count[st].astype(np.int64)
+        tot = int(cnt.sum())
+        if tot == 0:
+            z = np.zeros(0, dtype=np.int64)
+            return z.astype(np.int32), z, z
+        rep = np.repeat(np.arange(len(st)), cnt)
+        csum = np.cumsum(cnt)
+        inner = np.arange(tot, dtype=np.int64) - np.repeat(csum - cnt, cnt)
+        flat_csr = am.match_offsets[st[rep]] + inner
+        pids = am.match_pids[flat_csr]
+        lens = am.match_lens[flat_csr]
+        keep = lens == (step[rep] + 1)
+        pids = pids[keep]
+        starts = fire_np[win[rep][keep]]
+        ends = starts + lens[keep]
+        order = np.lexsort((pids, starts, ends))
+        return (
+            pids[order].astype(np.int32),
+            starts[order],
+            ends[order],
+        )

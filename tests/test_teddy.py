@@ -1,0 +1,131 @@
+"""Prefiltered (Teddy) scan path: exactness against the sequential oracle.
+
+Runs the Pallas fire kernel in interpreter mode on the CPU backend, so
+inputs are kept small; the contract is bit-exact equality of the complete
+occurrence set with the plain scan, plus prefilter soundness (no false
+negatives) on adversarial pattern shapes.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from ahocorasick_rs_tpu.models.automaton import build_automaton
+from ahocorasick_rs_tpu.models.prefilter import build_prefilter
+from ahocorasick_rs_tpu.ops import resolve as R
+from ahocorasick_rs_tpu.ops.scan_host import scan_python
+from ahocorasick_rs_tpu.ops.scan_jax import DeviceTables
+from ahocorasick_rs_tpu.ops.scan_teddy import TeddyScanner
+
+
+def _oracle(am, hay: bytes):
+    return R.resolve(
+        *R.expand_occurrences(am, *scan_python(am, hay)),
+        kind="standard",
+        overlapping=True,
+    )
+
+
+def _teddy_occ(patterns: list[bytes], hay: bytes, engine: str = "dfa"):
+    am = build_automaton(patterns)
+    pf = build_prefilter(patterns)
+    assert pf is not None
+    t = DeviceTables(am, engine)
+    scanner = TeddyScanner(
+        am, pf, t.table, t.classes, t.match_count, t.use_classes
+    )
+    occ = scanner.occurrences(np.frombuffer(hay, dtype=np.uint8))
+    return am, occ
+
+
+@pytest.mark.parametrize("engine", ["dfa", "classed"])
+def test_teddy_equals_oracle_names(engine: str) -> None:
+    rng = random.Random(0)
+    names = [
+        bytes(rng.choice(b"abcdefgh") for _ in range(rng.randint(4, 9)))
+        for _ in range(50)
+    ]
+    filler = b"zyxwvuts"
+    hay = bytearray(
+        bytes(rng.choice(filler) for _ in range(20_000))
+    )
+    for _ in range(60):  # splice names in
+        nm = names[rng.randrange(len(names))]
+        off = rng.randrange(len(hay) - len(nm))
+        hay[off : off + len(nm)] = nm
+    hay = bytes(hay)
+    am, occ = _teddy_occ(names, hay, engine)
+    assert occ is not None
+    got = R.resolve(*occ, kind="standard", overlapping=True)
+    want = _oracle(am, hay)
+    assert len(want) > 30
+    assert got == want
+
+
+def test_teddy_short_patterns_sound() -> None:
+    """Patterns shorter than the fingerprint must never be missed."""
+    patterns = [b"a", b"xy", b"hello"]
+    hay = b"qaq xy a hello axyhelloa " * 40
+    am, occ = _teddy_occ(patterns, hay)
+    assert occ is not None
+    assert R.resolve(*occ, kind="standard", overlapping=True) == _oracle(
+        am, hay
+    )
+
+
+def test_teddy_block_boundary_matches() -> None:
+    """Matches whose fingerprints straddle the kernel's roll-wrap zone are
+    caught by the force-fire rule."""
+    pattern = b"boundary"
+    # place the pattern across every 1024-byte boundary of a small buffer
+    hay = bytearray(b"." * 8192)
+    for off in (1022, 2045, 4094, 8184):
+        hay[off : off + len(pattern)] = pattern
+    am, occ = _teddy_occ([pattern], bytes(hay))
+    assert occ is not None
+    got = R.resolve(*occ, kind="standard", overlapping=True)
+    assert got == _oracle(am, bytes(hay))
+    assert len(got) == 4
+
+
+def test_teddy_dense_corpus_falls_back() -> None:
+    """A corpus where everything fires must return None (fallback signal)."""
+    patterns = [bytes([c]) for c in b"abcdefgh"]
+    hay = bytes(random.Random(1).choice(b"abcdefgh") for _ in range(50_000))
+    am = build_automaton(patterns)
+    pf = build_prefilter(patterns)
+    t = DeviceTables(am, "dfa")
+    scanner = TeddyScanner(
+        am, pf, t.table, t.classes, t.match_count, t.use_classes
+    )
+    occ = scanner.occurrences(np.frombuffer(hay, dtype=np.uint8))
+    assert occ is None
+    assert scanner.worthwhile is False
+
+
+def test_prefilter_estimates() -> None:
+    selective = build_prefilter([b"hello", b"world", b"zebra"])
+    dense = build_prefilter([bytes([c]) for c in range(64)])
+    assert selective.est_fire_rate < 0.01
+    assert dense.est_fire_rate > 0.2
+
+
+def test_prefilter_soundness_exhaustive() -> None:
+    """Every pattern occurrence position must fire (property check on the
+    host model of the tables, all 256 bytes)."""
+    rng = random.Random(3)
+    patterns = [
+        bytes(rng.randrange(256) for _ in range(rng.randint(1, 6)))
+        for _ in range(100)
+    ]
+    pf = build_prefilter(patterns)
+    allowed = pf.byte_allowed()  # [m, 256, 32]
+    for pid, p in enumerate(patterns):
+        b = pf.bucket_of[pid]
+        for k in range(min(pf.m, len(p))):
+            assert allowed[k, p[k], b], (pid, k)
+        for k in range(len(p), pf.m):
+            assert allowed[k, :, b].all()
