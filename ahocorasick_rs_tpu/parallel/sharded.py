@@ -1,14 +1,18 @@
 """Data-parallel sharded haystack scan over a JAX device mesh.
 
 The reference is strictly single-process (SURVEY.md §2.3); this module is the
-scale-out layer the TPU design adds: the transition table is replicated to
-every chip, the haystack's lane axis is sharded data-parallel across a 1-D
-mesh, and each shard's matches are compacted locally then ``all_gather``\\ ed.
-Because each lane already carries its own ``max_len - 1`` halo of left
-context (see ``ops/scan_host.py``), shard boundaries need no extra stitching
-pass — boundary-spanning matches are caught by the halo and never
-double-reported (a match is attributed to the lane that owns its end
-position).
+scale-out layer the TPU design adds:
+
+* the transition table is **replicated** to every chip,
+* the haystack crosses to devices as raw ``uint8``, sharded along a 1-D mesh
+  (each device owns a contiguous byte range),
+* each device builds its halo'd lanes locally; the one piece of remote
+  context — the ``max_len - 1`` bytes preceding the shard — arrives from the
+  left neighbour via ``jax.lax.ppermute`` over ICI (the distributed halo
+  exchange),
+* matches are compacted per shard on device and gathered; a match is
+  attributed to the device owning its end position, so boundary-spanning
+  matches are found exactly once and no stitching pass exists.
 
 Collectives ride the mesh: within a host that's ICI; across hosts
 (``jax.distributed``-initialized meshes) XLA routes them over DCN.
@@ -25,7 +29,6 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.automaton import Automaton, PAD_BYTE
-from ..ops.scan_host import make_lanes
 from ..ops.scan_jax import DeviceTables, _bucket
 
 
@@ -37,9 +40,27 @@ def make_mesh(num_devices: int | None = None, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
-def _shard_scan_fn(table, classes, ext, match_count, n, cap, halo,
-                   use_classes, lanes_per_dev, axis):
-    """Per-device body: scan local lanes, compact local matches."""
+def _shard_scan_fn(table, classes, flat_u8, match_count, n, *, L, T, halo,
+                   cap, use_classes, axis, n_dev):
+    """Per-device body: halo exchange, lane build, scan, local compaction."""
+    flat = flat_u8.astype(jnp.int32)
+    dev = jax.lax.axis_index(axis).astype(jnp.int32)
+    offset = dev * (L * T)
+    idx = jnp.arange(L * T, dtype=jnp.int32) + offset
+    flat = jnp.where(idx < n, flat, PAD_BYTE)
+
+    if halo:
+        # distributed halo exchange: my tail -> right neighbour's head
+        tail = flat[L * T - halo :]
+        prev_tail = jax.lax.ppermute(
+            tail, axis, [(i, (i + 1) % n_dev) for i in range(n_dev)]
+        )
+        prev_tail = jnp.where(dev == 0, PAD_BYTE, prev_tail)
+        pf = jnp.concatenate([prev_tail, flat])
+        halos = pf[: L * T].reshape(L, T)[:, :halo]
+        ext = jnp.concatenate([halos, flat.reshape(L, T)], axis=1)
+    else:
+        ext = flat.reshape(L, T)
     if use_classes:
         ext = classes[ext]
 
@@ -47,58 +68,48 @@ def _shard_scan_fn(table, classes, ext, match_count, n, cap, halo,
         states = table[states, col]
         return states, states
 
-    L, HT = ext.shape
-    T = HT - halo
-    # zeros_like keeps the carry varying over the mesh axis (shard_map vma)
     init = jnp.zeros_like(ext[:, 0])
     if halo:
         states, _ = jax.lax.scan(body, init, ext[:, :halo].T)
     else:
         states = init
     _, out = jax.lax.scan(body, states, ext[:, halo:].T)
-    flat = out.T.reshape(-1)
-    # global position of local flat index i: dev*(L*T) + i
-    dev = jax.lax.axis_index(axis)
-    offset = dev.astype(jnp.int32) * (L * T)
-    idx = jnp.arange(L * T, dtype=jnp.int32) + offset
-    matched = (match_count[flat] > 0) & (idx < n)
+    flat_s = out.T.reshape(-1)
+    matched = (match_count[flat_s] > 0) & (idx < n)
     total = jnp.sum(matched, dtype=jnp.int32)
     local_pos = jnp.nonzero(matched, size=cap, fill_value=-1)[0].astype(
         jnp.int32
     )
     states_at = jnp.where(
-        local_pos >= 0, flat[jnp.maximum(local_pos, 0)], -1
+        local_pos >= 0, flat_s[jnp.maximum(local_pos, 0)], -1
     )
     positions = jnp.where(local_pos >= 0, local_pos + offset, -1)
-    # gather every shard's buffers; axis 0 of the outputs is the mesh axis
-    return (
-        positions[None],
-        states_at[None],
-        total[None],
-    )
+    return positions[None], states_at[None], total[None]
 
 
 @partial(
     jax.jit,
-    static_argnames=("cap", "halo", "use_classes", "lanes_per_dev", "mesh",
-                     "axis"),
+    static_argnames=("L", "T", "halo", "cap", "use_classes", "mesh", "axis"),
 )
-def _sharded_scan(table, classes, ext, match_count, n, cap, halo,
-                  use_classes, lanes_per_dev, mesh, axis):
+def _sharded_scan(table, classes, flat_u8, match_count, n, L, T, halo, cap,
+                  use_classes, mesh, axis):
+    n_dev = mesh.devices.size
     fn = jax.shard_map(
         partial(
             _shard_scan_fn,
-            cap=cap,
+            L=L,
+            T=T,
             halo=halo,
+            cap=cap,
             use_classes=use_classes,
-            lanes_per_dev=lanes_per_dev,
             axis=axis,
+            n_dev=n_dev,
         ),
         mesh=mesh,
         in_specs=(P(), P(), P(axis), P(), P()),
         out_specs=(P(axis), P(axis), P(axis)),
     )
-    return fn(table, classes, ext, match_count, n)
+    return fn(table, classes, flat_u8, match_count, n)
 
 
 def scan_sharded(
@@ -112,9 +123,8 @@ def scan_sharded(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Scan ``hay`` sharded across ``mesh``; returns (positions, states).
 
-    The lane layout is ``[n_dev * lanes_per_device, halo + T]`` with the lane
-    axis sharded over the mesh; device ``d`` owns global byte range
-    ``[d*L*T, (d+1)*L*T)``.
+    Layout: ``n_dev * lanes_per_device`` lanes of ``T`` bytes; device ``d``
+    owns global byte range ``[d*L*T, (d+1)*L*T)``.
     """
     n = len(hay)
     if n == 0:
@@ -126,24 +136,24 @@ def scan_sharded(
     halo = am.max_len - 1
     L = lanes_per_device
     G = n_dev * L
-    T = _bucket(-(-n // G))
-    padded = np.full(G * T, PAD_BYTE, dtype=np.int32)
-    padded[:n] = np.asarray(hay, dtype=np.int32)
-    ext, _ = make_lanes(padded, G, halo)
+    T = _bucket(max(-(-n // G), halo, 16))
+    buf = np.zeros(G * T, dtype=np.uint8)
+    buf[:n] = hay
     sharding = NamedSharding(mesh, P(axis))
-    ext_d = jax.device_put(ext, sharding)
+    flat_dev = jax.device_put(buf, sharding)
     cap = 4096
     while True:
         pos, st, totals = _sharded_scan(
             tables.table,
             tables.classes,
-            ext_d,
+            flat_dev,
             tables.match_count,
             jnp.int32(n),
-            cap,
-            halo,
-            tables.use_classes,
             L,
+            T,
+            halo,
+            cap,
+            tables.use_classes,
             mesh,
             axis,
         )

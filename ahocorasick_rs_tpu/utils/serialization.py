@@ -1,0 +1,130 @@
+"""Automaton serialization (.npz).
+
+The reference deliberately offers no automaton persistence — construction is
+the only way to get one (SURVEY.md §5: note that ``pyahocorasick`` can
+pickle, this library cannot).  For the TPU framework, compiling a
+million-pattern set is expensive enough that saving the compiled tables is a
+first-class subsystem: everything in an :class:`Automaton` is plain arrays,
+so a single compressed ``.npz`` round-trips it exactly.
+
+The matcher-level wrappers also persist matchkind/engine/pattern metadata so
+a saved matcher behaves identically after loading (including
+``find_matches_as_strings`` with stored patterns).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Optional
+
+import numpy as np
+
+from ..models.automaton import Automaton, _finalize
+
+_FORMAT_VERSION = 1
+
+
+def save_automaton(path: str, am: Automaton) -> None:
+    np.savez_compressed(
+        path,
+        __format__=np.int64(_FORMAT_VERSION),
+        edge_keys=am.edge_keys,
+        edge_targets=am.edge_targets,
+        fail=am.fail,
+        depth=am.depth,
+        match_offsets=am.match_offsets,
+        match_pids=am.match_pids,
+        pattern_lens=am.pattern_lens,
+    )
+
+
+def load_automaton(path: str) -> Automaton:
+    with np.load(path) as z:
+        version = int(z["__format__"])
+        if version != _FORMAT_VERSION:
+            raise ValueError(
+                f"unsupported automaton format version {version}"
+            )
+        return _finalize(
+            z["edge_keys"],
+            z["edge_targets"],
+            z["fail"],
+            z["depth"],
+            z["match_offsets"],
+            z["match_pids"],
+            z["pattern_lens"],
+            goto=None,
+        )
+
+
+def save_matcher(path: str, matcher) -> None:
+    """Persist an ``AhoCorasick``/``BytesAhoCorasick`` with its config."""
+    meta = {
+        "class": type(matcher).__name__,
+        "matchkind": matcher._matchkind.name,
+        "implementation": matcher._implementation.name,
+        "patterns": None,
+    }
+    stored = getattr(matcher, "_patterns", None)
+    if stored is not None:
+        meta["patterns"] = stored
+    am = matcher._automaton
+    np.savez_compressed(
+        path,
+        __format__=np.int64(_FORMAT_VERSION),
+        __meta__=np.frombuffer(
+            json.dumps(meta).encode("utf-8"), dtype=np.uint8
+        ),
+        edge_keys=am.edge_keys,
+        edge_targets=am.edge_targets,
+        fail=am.fail,
+        depth=am.depth,
+        match_offsets=am.match_offsets,
+        match_pids=am.match_pids,
+        pattern_lens=am.pattern_lens,
+    )
+
+
+def load_matcher(path: str):
+    """Reconstruct a matcher saved by :func:`save_matcher`."""
+    from ..api import AhoCorasick, BytesAhoCorasick
+    from ..models.engine import Implementation, MatchKind
+
+    with np.load(path) as z:
+        version = int(z["__format__"])
+        if version != _FORMAT_VERSION:
+            raise ValueError(
+                f"unsupported matcher format version {version}"
+            )
+        meta = json.loads(bytes(z["__meta__"]).decode("utf-8"))
+        am = _finalize(
+            z["edge_keys"],
+            z["edge_targets"],
+            z["fail"],
+            z["depth"],
+            z["match_offsets"],
+            z["match_pids"],
+            z["pattern_lens"],
+            goto=None,
+        )
+    cls = {"AhoCorasick": AhoCorasick, "BytesAhoCorasick": BytesAhoCorasick}[
+        meta["class"]
+    ]
+    matcher = cls.__new__(cls)
+    matcher._matchkind = MatchKind[meta["matchkind"]]
+    matcher._implementation = Implementation[meta["implementation"]]
+    matcher._automaton = am
+    matcher._backend = "auto"
+    matcher._device_tables = None
+    matcher._teddy = None
+    if meta["patterns"] is not None:
+        matcher._byte_patterns = [p.encode("utf-8") for p in meta["patterns"]]
+        matcher._teddy_state = "auto"
+    else:
+        # prefilter tables need the original patterns; without them the
+        # loaded matcher just uses the dense scan paths
+        matcher._byte_patterns = None
+        matcher._teddy_state = "off"
+    if cls is AhoCorasick:
+        matcher._patterns = meta["patterns"]
+    return matcher

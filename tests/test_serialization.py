@@ -1,0 +1,64 @@
+"""Save/load round-trips for compiled automatons and matchers."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ahocorasick_rs_tpu import AhoCorasick, BytesAhoCorasick, MatchKind
+from ahocorasick_rs_tpu.models.automaton import build_automaton
+from ahocorasick_rs_tpu.utils.serialization import (
+    load_automaton,
+    load_matcher,
+    save_automaton,
+    save_matcher,
+)
+
+
+def test_automaton_roundtrip(tmp_path) -> None:
+    am = build_automaton([b"hello", b"world", b"lo wo"])
+    path = str(tmp_path / "am.npz")
+    save_automaton(path, am)
+    am2 = load_automaton(path)
+    assert am2.num_states == am.num_states
+    assert np.array_equal(am2.edge_keys, am.edge_keys)
+    assert np.array_equal(am2.fail, am.fail)
+    assert np.array_equal(am2.match_pids, am.match_pids)
+    assert np.array_equal(am2.delta, am.delta)
+    assert am2.max_len == am.max_len
+
+
+def test_matcher_roundtrip_str(tmp_path) -> None:
+    patterns = ["winter", "disco", "discontent"]
+    ac = AhoCorasick(patterns, matchkind=MatchKind.LeftmostLongest)
+    path = str(tmp_path / "m.npz")
+    save_matcher(path, ac)
+    ac2 = load_matcher(path)
+    hay = "the winter of my discontent"
+    assert ac2.find_matches_as_indexes(hay) == ac.find_matches_as_indexes(hay)
+    assert ac2.find_matches_as_strings(hay) == ac.find_matches_as_strings(hay)
+    with pytest.raises(ValueError):
+        ac2.find_matches_as_indexes(hay, overlapping=True)
+
+
+def test_matcher_roundtrip_bytes(tmp_path) -> None:
+    b = BytesAhoCorasick([b"ab", b"bc", b"abcd"])
+    path = str(tmp_path / "b.npz")
+    save_matcher(path, b)
+    b2 = load_matcher(path)
+    hay = b"xxabcdxx"
+    assert b2.find_matches_as_indexes(hay) == b.find_matches_as_indexes(hay)
+    assert b2.find_matches_as_indexes(
+        hay, overlapping=True
+    ) == b.find_matches_as_indexes(hay, overlapping=True)
+
+
+def test_version_check(tmp_path) -> None:
+    am = build_automaton([b"x"])
+    path = str(tmp_path / "v.npz")
+    save_automaton(path, am)
+    data = dict(np.load(path))
+    data["__format__"] = np.int64(99)
+    np.savez(path, **data)
+    with pytest.raises(ValueError):
+        load_automaton(path)
