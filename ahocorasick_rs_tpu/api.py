@@ -100,10 +100,10 @@ class _MatcherBase:
         am = self._automaton
         backend = self._backend
         if backend == "auto":
-            if n <= PY_TIER_MAX:
-                backend = "python"
-            elif n < DEVICE_TIER_MIN:
-                backend = "numpy"
+            if n < DEVICE_TIER_MIN:
+                backend = "native" if self._native_ok() else (
+                    "python" if n <= PY_TIER_MAX else "numpy"
+                )
             else:
                 backend = "device"
         if (
@@ -112,7 +112,21 @@ class _MatcherBase:
         ):
             # Sparse engine has no device kernel yet; its contract is
             # fastest-build/slowest-search, so the host path is honest.
-            backend = "numpy"
+            backend = "numpy" if not self._native_ok() else "native"
+        if backend == "native":
+            from .models import native as _native
+
+            if self._implementation is not Implementation.DFA and (
+                self._implementation is Implementation.ContiguousNFA
+                or am._delta_classed is not None
+            ):
+                return _native.scan_dense_native(
+                    am.delta_classed,
+                    am.match_count,
+                    hay,
+                    classes=am.byte_classes,
+                )
+            return _native.scan_dense_native(am.delta, am.match_count, hay)
         if backend == "python":
             return scan_host.scan_python(am, hay.tobytes())
         if backend == "numpy":
@@ -131,6 +145,18 @@ class _MatcherBase:
         from .ops import scan_jax
 
         return scan_jax.scan_device(am, hay, self._get_device_tables())
+
+    def _native_ok(self) -> bool:
+        """Native host scan usable for this matcher's engine?"""
+        from .models import native as _native
+
+        if not _native.available():
+            return False
+        if self._implementation is Implementation.NoncontiguousNFA:
+            # honor the sparse engine's low-memory contract: only use the
+            # native walk if a dense/classed table already exists
+            return self._automaton._delta_classed is not None
+        return True
 
     # -- prefiltered (Teddy) path --------------------------------------
     def _try_teddy(self, hay: np.ndarray):

@@ -86,8 +86,61 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.ac_build_dense.argtypes = [ctypes.c_void_p, _i32p]
         lib.ac_free.restype = None
         lib.ac_free.argtypes = [ctypes.c_void_p]
+        lib.ac_scan_dense.restype = ctypes.c_int64
+        lib.ac_scan_dense.argtypes = [
+            _i32p, _i32p, _i8p, ctypes.c_int64, _i64p, _i32p, ctypes.c_int64,
+        ]
+        lib.ac_scan_classed.restype = ctypes.c_int64
+        lib.ac_scan_classed.argtypes = [
+            _i32p, ctypes.c_int64, _i32p, _i32p, _i8p, ctypes.c_int64,
+            _i64p, _i32p, ctypes.c_int64,
+        ]
         _lib = lib
         return _lib
+
+
+def scan_dense_native(
+    delta: np.ndarray,
+    match_count: np.ndarray,
+    hay: np.ndarray,
+    classes: Optional[np.ndarray] = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Native sequential scan; returns matched (positions, states).
+
+    ``delta`` is [S, 257] (classes=None) or [S, C] with a [257] byte→class
+    map.  Retries on output-capacity overflow (exact count returned).
+    """
+    lib = _load()
+    assert lib is not None
+    n = len(hay)
+    hay = np.ascontiguousarray(hay, dtype=np.uint8)
+    if n == 0:
+        hay = np.zeros(1, dtype=np.uint8)
+    delta = np.ascontiguousarray(delta, dtype=np.int32)
+    match_count = np.ascontiguousarray(match_count, dtype=np.int32)
+    cap = 4096
+    while True:
+        out_pos = np.empty(cap, dtype=np.int64)
+        out_state = np.empty(cap, dtype=np.int32)
+        if classes is None:
+            found = lib.ac_scan_dense(
+                delta, match_count, hay, n, out_pos, out_state, cap
+            )
+        else:
+            found = lib.ac_scan_classed(
+                delta,
+                delta.shape[1],
+                np.ascontiguousarray(classes, dtype=np.int32),
+                match_count,
+                hay,
+                n,
+                out_pos,
+                out_state,
+                cap,
+            )
+        if found <= cap:
+            return out_pos[:found], out_state[:found].astype(np.int64)
+        cap = int(found)
 
 
 def available() -> bool:

@@ -1,4 +1,4 @@
-"""SIMD-prefilter compiler (the TPU analogue of the crate's Teddy).
+"""SIMD-prefilter compiler (the TPU analogue of the crate's Teddy/FDR).
 
 The reference's speed comes largely from SIMD prefilters buried in the
 ``aho-corasick`` crate (SURVEY.md §2.2 X10: memchr/Teddy).  On TPU, the
@@ -7,19 +7,24 @@ the VPU — while bitwise ops and in-register 128-lane shuffles are cheap.
 This module compiles the pattern set into Teddy-style nibble tables the
 Pallas fire kernel (``ops/scan_teddy.py``) consumes:
 
-* patterns are grouped into 32 buckets (bit per bucket in an int32 mask) by
-  sorted first-``m``-byte prefix, so co-bucketed patterns share fingerprints;
-* for each fingerprint position ``k < m`` there are two 16-entry nibble
-  tables (low/high); a byte is "allowed" for a bucket at ``k`` iff some
-  member pattern has that nibble pair at ``k`` (or is shorter than ``k+1``,
-  which makes the position unconstrained for that bucket);
-* a position *fires* when ``AND_k tables_k[haystack[i+k]]`` is non-zero.
+* patterns are grouped into ``32 * words`` buckets (one bit per bucket
+  across ``words`` int32 mask planes) by sorted first-``m``-byte prefix, so
+  co-bucketed patterns share fingerprints; more planes = fewer patterns per
+  bucket = less cartesian inflation of the per-position nibble sets, which
+  is what keeps large pattern sets selective (the FDR move);
+* for each fingerprint position ``k < m`` and each plane there are two
+  16-entry nibble tables (low/high); a byte is "allowed" for a bucket at
+  ``k`` iff some member pattern has that nibble pair at ``k`` (or is
+  shorter than ``k+1``, which makes the position unconstrained);
+* a position *fires* when any plane of ``AND_k tables_k[h[i+k]]`` is
+  non-zero.
 
 Soundness: if pattern ``p`` occurs at position ``i``, every fingerprint
 position matches exactly, so ``p``'s bucket bit survives all ANDs — no
 false negatives.  False positives are discarded by exact windowed
-verification.  ``est_fire_rate`` estimates selectivity so the scan layer
-can skip the prefilter for pattern sets where it cannot pay off.
+verification.  Both ``m`` and ``words`` adapt to the pattern set via a
+selectivity estimate under the byte distribution the patterns themselves
+imply.
 """
 
 from __future__ import annotations
@@ -29,65 +34,182 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-#: fingerprint length (bytes of each pattern's prefix used by the filter)
-FINGERPRINT_LEN = 3
-#: bucket count — one bit each in an int32 lane
-NUM_BUCKETS = 32
+#: candidate fingerprint lengths; longer = more selective, more VPU ops
+MIN_FINGERPRINT = 3
+MAX_FINGERPRINT = 8
+#: maximum int32 mask planes (32 buckets each)
+MAX_WORDS = 8
 
 
 @dataclass
 class Prefilter:
     m: int
-    #: int32 [8, 128]; row 2k = low-nibble table for position k, row 2k+1 =
-    #: high-nibble table; only lanes 0..15 are meaningful, rest are zero.
+    words: int
+    #: int32 [2*m*words, 128]; row (2k + lohi) * words + w holds, for
+    #: fingerprint position k, the low (lohi=0) / high (lohi=1) nibble
+    #: table of mask plane w.  Only lanes 0..15 are meaningful.
     tables: np.ndarray
     bucket_of: np.ndarray  # int32 [P]
     est_fire_rate: float
 
     def byte_allowed(self) -> np.ndarray:
-        """bool [m, 256, 32]: is byte allowed for (position, bucket)?"""
-        t = self.tables.view(np.uint32)
+        """bool [m, 256, buckets]: is byte allowed for (position, bucket)?"""
+        t = self.tables.view(np.uint32).reshape(self.m, 2, self.words, 128)
         bytes_ = np.arange(256)
-        out = np.zeros((self.m, 256, NUM_BUCKETS), dtype=bool)
+        B = 32 * self.words
+        out = np.zeros((self.m, 256, B), dtype=bool)
         for k in range(self.m):
-            mask = t[2 * k, bytes_ & 15] & t[2 * k + 1, bytes_ >> 4]
-            out[k] = (mask[:, None] >> np.arange(NUM_BUCKETS)) & 1
+            for w in range(self.words):
+                mask = (
+                    t[k, 0, w, bytes_ & 15] & t[k, 1, w, bytes_ >> 4]
+                )
+                out[k, :, 32 * w : 32 * (w + 1)] = (
+                    (mask[:, None] >> np.arange(32)) & 1
+                ).astype(bool)
         return out
 
 
-def build_prefilter(patterns: Sequence[bytes]) -> Optional[Prefilter]:
-    """Compile nibble tables; returns None for degenerate inputs."""
+def _assign_buckets(
+    patterns: Sequence[bytes], m: int, B: int, byte_freq: np.ndarray
+) -> np.ndarray:
+    """Greedy min-coverage-increase clustering of patterns into buckets.
+
+    A bucket's fire mass is ``Π_k lo_mass_k * hi_mass_k`` (the nibble
+    tables are per-position cartesian products, so coverage multiplies);
+    each pattern goes to the bucket whose mass grows least.  This is what
+    keeps hundreds of patterns per plane selective — sorted-prefix chunking
+    saturates positions ≥ 2 and fires on most of the corpus.
+    """
     P = len(patterns)
-    if P == 0:
-        return None
-    m = FINGERPRINT_LEN
-
-    # Bucket by sorted prefix so similar fingerprints share bucket bits.
-    order = sorted(range(P), key=lambda i: patterns[i][:m])
+    if P > 20000:
+        # greedy is O(P*B*m); past this size fall back to sorted-prefix
+        # chunking (the runtime fire-rate check protects correctness/perf)
+        order = sorted(range(P), key=lambda i: patterns[i][:m])
+        bucket_of = np.zeros(P, dtype=np.int32)
+        per_bucket = -(-P // B)
+        for rank, pid in enumerate(order):
+            bucket_of[pid] = min(rank // per_bucket, B - 1)
+        return bucket_of
+    flo = np.zeros(16)
+    fhi = np.zeros(16)
+    for b in range(256):
+        flo[b & 15] += byte_freq[b]
+        fhi[b >> 4] += byte_freq[b]
+    has_lo = np.zeros((B, m, 16), dtype=bool)
+    has_hi = np.zeros((B, m, 16), dtype=bool)
+    lo_mass = np.zeros((B, m))
+    hi_mass = np.zeros((B, m))
+    sizes = np.zeros(B, dtype=np.int64)
+    cap = max(4, (4 * P) // B)
     bucket_of = np.zeros(P, dtype=np.int32)
-    per_bucket = -(-P // NUM_BUCKETS)
-    for rank, pid in enumerate(order):
-        bucket_of[pid] = min(rank // per_bucket, NUM_BUCKETS - 1)
-
-    tables = np.zeros((8, 128), dtype=np.uint32)
-    for pid, p in enumerate(patterns):
-        bit = np.uint32(1) << np.uint32(bucket_of[pid])
+    # visit in sorted-prefix order so similar patterns are adjacent and the
+    # greedy sees them consecutively
+    order = sorted(range(P), key=lambda i: patterns[i][:m])
+    for pid in order:
+        p = patterns[pid]
+        # candidate masses per bucket if p joins  [B, m]
+        nl = lo_mass.copy()
+        nh = hi_mass.copy()
         for k in range(m):
             if k < len(p):
-                tables[2 * k, p[k] & 15] |= bit
-                tables[2 * k + 1, p[k] >> 4] |= bit
+                lo_v, hi_v = p[k] & 15, p[k] >> 4
+                nl[:, k] = np.where(
+                    has_lo[:, k, lo_v], nl[:, k], nl[:, k] + flo[lo_v]
+                )
+                nh[:, k] = np.where(
+                    has_hi[:, k, hi_v], nh[:, k], nh[:, k] + fhi[hi_v]
+                )
             else:
-                tables[2 * k, 0:16] |= bit
-                tables[2 * k + 1, 0:16] |= bit
+                nl[:, k] = 1.0
+                nh[:, k] = 1.0
+        # minimize the *increase* in fire mass, so patterns pile into
+        # buckets that already cover them instead of the least-full bucket
+        cost = (nl * nh).prod(axis=1) - (lo_mass * hi_mass).prod(axis=1)
+        cost = np.where(sizes >= cap, np.inf, cost)
+        beta = int(np.argmin(cost))
+        bucket_of[pid] = beta
+        sizes[beta] += 1
+        for k in range(m):
+            if k < len(p):
+                has_lo[beta, k, p[k] & 15] = True
+                has_hi[beta, k, p[k] >> 4] = True
+                lo_mass[beta, k] = nl[beta, k]
+                hi_mass[beta, k] = nh[beta, k]
+            else:
+                lo_mass[beta, k] = 1.0
+                hi_mass[beta, k] = 1.0
+                has_lo[beta, k, :] = True
+                has_hi[beta, k, :] = True
+    return bucket_of
+
+
+def _build_for(
+    patterns: Sequence[bytes], m: int, words: int, byte_freq: np.ndarray
+) -> Prefilter:
+    P = len(patterns)
+    B = 32 * words
+    bucket_of = _assign_buckets(patterns, m, B, byte_freq)
+
+    tables = np.zeros((m, 2, words, 128), dtype=np.uint32)
+    for pid, p in enumerate(patterns):
+        b = int(bucket_of[pid])
+        w, bit = b // 32, np.uint32(1) << np.uint32(b % 32)
+        for k in range(m):
+            if k < len(p):
+                tables[k, 0, w, p[k] & 15] |= bit
+                tables[k, 1, w, p[k] >> 4] |= bit
+            else:
+                tables[k, 0, w, 0:16] |= bit
+                tables[k, 1, w, 0:16] |= bit
 
     pf = Prefilter(
         m=m,
-        tables=tables.view(np.int32),
+        words=words,
+        tables=tables.reshape(2 * m * words, 128).view(np.int32),
         bucket_of=bucket_of,
         est_fire_rate=0.0,
     )
-    # Uniform-byte selectivity estimate: P(fire) ≈ Σ_β Π_k frac_allowed.
-    allowed = pf.byte_allowed()  # [m, 256, 32]
-    frac = allowed.mean(axis=1)  # [m, 32]
-    pf.est_fire_rate = float(np.minimum(frac.prod(axis=0).sum(), 1.0))
+    # Selectivity estimate under the byte distribution implied by the
+    # patterns themselves (a decent stand-in for the corpus a user scans
+    # with these patterns): P(fire) ≈ 1 - Π_β (1 - Π_k Σ_{allowed} freq).
+    allowed = pf.byte_allowed()  # [m, 256, B]
+    frac = np.einsum("kbc,b->kc", allowed.astype(np.float64), byte_freq)
+    per_bucket_rate = frac.prod(axis=0)
+    pf.est_fire_rate = float(1.0 - np.prod(1.0 - per_bucket_rate))
     return pf
+
+
+def build_prefilter(
+    patterns: Sequence[bytes], target_rate: float = 0.003
+) -> Optional[Prefilter]:
+    """Compile nibble tables, growing fingerprint/planes until selective.
+
+    Plane count follows pattern count (≈48 patterns per bucket triggers
+    another plane, capped at :data:`MAX_WORDS`); the fingerprint length
+    grows until the estimated fire rate reaches ``target_rate`` or stops
+    improving.  Returns None for empty pattern sets.
+    """
+    P = len(patterns)
+    if P == 0:
+        return None
+    # target ≈8 patterns per bucket — beyond that the per-position nibble
+    # sets of random-ish patterns saturate and the filter stops filtering
+    words = 1
+    while words < MAX_WORDS and P > 8 * 32 * words:
+        words *= 2
+    counts = np.bincount(
+        np.frombuffer(b"".join(patterns), dtype=np.uint8), minlength=256
+    ).astype(np.float64)
+    byte_freq = counts / max(counts.sum(), 1.0)
+    best: Optional[Prefilter] = None
+    prev_rate: Optional[float] = None
+    for m in range(MIN_FINGERPRINT, MAX_FINGERPRINT + 1):
+        pf = _build_for(patterns, m, words, byte_freq)
+        if best is None or pf.est_fire_rate < best.est_fire_rate:
+            best = pf
+        if best.est_fire_rate <= target_rate:
+            break
+        if prev_rate is not None and pf.est_fire_rate > prev_rate * 0.9:
+            break  # longer fingerprints stopped helping
+        prev_rate = pf.est_fire_rate
+    return best

@@ -196,3 +196,54 @@ void ac_build_dense(void *h, int32_t *delta) {
 void ac_free(void *h) { delete static_cast<Builder *>(h); }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Host-tier scanners: the native analogue of the reference's hot loop
+// (/root/reference/src/lib.rs:240-246) — one failure-resolved table lookup
+// per haystack byte, emitting (position, state) pairs at match states.
+// Overflow protocol: counting continues past `cap`, writes stop; the caller
+// retries with a larger buffer if the return value exceeds cap.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+int64_t ac_scan_dense(const int32_t *delta, const int32_t *match_count,
+                      const uint8_t *hay, int64_t n, int64_t *out_pos,
+                      int32_t *out_state, int64_t cap) {
+  int32_t state = 0;
+  int64_t found = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    state = delta[static_cast<int64_t>(state) * 257 + hay[i]];
+    if (match_count[state]) {
+      if (found < cap) {
+        out_pos[found] = i;
+        out_state[found] = state;
+      }
+      ++found;
+    }
+  }
+  return found;
+}
+
+// Byte-class-compressed variant: `classes` maps byte -> class, `delta` is
+// [S, num_classes].
+int64_t ac_scan_classed(const int32_t *delta, int64_t num_classes,
+                        const int32_t *classes, const int32_t *match_count,
+                        const uint8_t *hay, int64_t n, int64_t *out_pos,
+                        int32_t *out_state, int64_t cap) {
+  int32_t state = 0;
+  int64_t found = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    state = delta[static_cast<int64_t>(state) * num_classes + classes[hay[i]]];
+    if (match_count[state]) {
+      if (found < cap) {
+        out_pos[found] = i;
+        out_state[found] = state;
+      }
+      ++found;
+    }
+  }
+  return found;
+}
+
+}  // extern "C"

@@ -53,38 +53,59 @@ def _leftroll(x: jnp.ndarray, k: int, R: int) -> jnp.ndarray:
     return jnp.where(lane >= 128 - k, c, a)
 
 
-def _fire_kernel(tabs_ref, x_ref, out_ref):
-    x = x_ref[:]  # [R, 128] uint8
-    R = x.shape[0]
-    t = tabs_ref[:]  # [8, 128] int32 nibble tables
-    lo = (x & jnp.uint8(15)).astype(jnp.int32)
-    hi = x.astype(jnp.int32) >> 4
+def _make_fire_kernel(m: int, words: int):
+    """Fire kernel for an ``m``-byte, ``words``-plane fingerprint.
 
-    def lut(row, idx):
-        tab = jnp.broadcast_to(t[row : row + 1, :], idx.shape)
-        return jnp.take_along_axis(tab, idx, axis=1)
+    Statically unrolled over fingerprint positions and mask planes; table
+    row layout per ``models/prefilter.py``: row (2k + lohi)*words + w.
+    """
 
-    fire = lut(0, lo) & lut(1, hi)
-    fire = fire & _leftroll(lut(2, lo) & lut(3, hi), 1, R)
-    fire = fire & _leftroll(lut(4, lo) & lut(5, hi), 2, R)
-    # Force-fire the block's last m-1 positions (roll wrap-around zone).
-    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    pos = row * 128 + lane
-    fire = jnp.where(pos >= R * 128 - 2, jnp.int32(-1), fire)
-    out_ref[:] = (fire != 0).astype(jnp.uint8)
+    def _fire_kernel(tabs_ref, x_ref, out_ref):
+        x = x_ref[:]  # [R, 128] uint8
+        R = x.shape[0]
+        t = tabs_ref[:]  # [2*m*words, 128] int32 nibble tables
+        lo = (x & jnp.uint8(15)).astype(jnp.int32)
+        hi = x.astype(jnp.int32) >> 4
+
+        def lut(row, idx):
+            tab = jnp.broadcast_to(t[row : row + 1, :], idx.shape)
+            return jnp.take_along_axis(tab, idx, axis=1)
+
+        any_fire = None
+        for w in range(words):
+            fire = lut(w, lo) & lut(words + w, hi)
+            for k in range(1, m):
+                term = lut((2 * k) * words + w, lo) & lut(
+                    (2 * k + 1) * words + w, hi
+                )
+                fire = fire & _leftroll(term, k, R)
+            hit = fire != 0
+            any_fire = hit if any_fire is None else (any_fire | hit)
+        # Force-fire the block's last m-1 positions (roll wrap-around zone).
+        row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        pos = row * 128 + lane
+        any_fire = any_fire | (pos >= R * 128 - (m - 1))
+        out_ref[:] = any_fire.astype(jnp.uint8)
+
+    return _fire_kernel
 
 
-def fire_mask(tables: jnp.ndarray, hay2d: jnp.ndarray) -> jnp.ndarray:
+def fire_mask(
+    tables: jnp.ndarray, hay2d: jnp.ndarray, m: int, words: int
+) -> jnp.ndarray:
     """uint8 [Rtot, 128] fire mask for a row-major haystack layout."""
     Rtot = hay2d.shape[0]
     R = min(BLOCK_ROWS, Rtot)
     nblk = Rtot // R
+    rows = 2 * m * words
     return pl.pallas_call(
-        _fire_kernel,
+        _make_fire_kernel(m, words),
         grid=(nblk,),
         in_specs=[
-            pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (rows, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
             pl.BlockSpec((R, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -95,9 +116,9 @@ def fire_mask(tables: jnp.ndarray, hay2d: jnp.ndarray) -> jnp.ndarray:
     )(tables, hay2d)
 
 
-@partial(jax.jit, static_argnames=("cap",))
-def _fire_positions(tables, hay2d, n, cap):
-    mask = fire_mask(tables, hay2d).reshape(-1)
+@partial(jax.jit, static_argnames=("cap", "m", "words"))
+def _fire_positions(tables, hay2d, n, cap, m, words):
+    mask = fire_mask(tables, hay2d, m, words).reshape(-1)
     idx = jnp.arange(mask.shape[0], dtype=jnp.int32)
     fired = (mask != 0) & (idx < n)
     total = jnp.sum(fired, dtype=jnp.int32)
@@ -151,6 +172,8 @@ class TeddyScanner:
     def __init__(self, am: Automaton, pf: Prefilter, table, classes,
                  match_count, use_classes: bool):
         self.am = am
+        self.m = pf.m
+        self.words = pf.words
         self.tables = jnp.asarray(pf.tables)
         self.table = table
         self.classes = classes
@@ -177,15 +200,16 @@ class TeddyScanner:
         hay2d = jnp.asarray(buf.reshape(rows_p, 128))
         cap = self.fire_cap
         while True:
-            pos, total = _fire_positions(self.tables, hay2d, jnp.int32(n),
-                                         cap)
+            pos, total = _fire_positions(
+                self.tables, hay2d, jnp.int32(n), cap, self.m, self.words
+            )
             total = int(total)
             if total <= cap:
                 break
             cap = _bucket(total)
         self.fire_cap = max(1 << 14, _bucket(total))
-        if total > max(4096, n // 8):
-            # prefilter not selective on this corpus — let caller fall back
+        if total * max(W, 1) > max(1 << 16, n // 2):
+            # verification would rescan too much — let caller fall back
             self.worthwhile = False
             return None
         fire_pos = pos[:_bucket(max(total, 1))]

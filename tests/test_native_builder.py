@@ -93,3 +93,39 @@ def test_scan_python_works_without_goto_dicts() -> None:
         overlapping=True,
     )
     assert got2 == want
+
+
+@pytest.mark.parametrize("classed", [False, True])
+def test_native_scan_equals_python_walk(classed: bool) -> None:
+    from ahocorasick_rs_tpu.models.native import scan_dense_native
+    from ahocorasick_rs_tpu.ops.scan_host import scan_python
+
+    rng = random.Random(17)
+    patterns = [
+        bytes(rng.choice(b"abc") for _ in range(rng.randint(1, 6)))
+        for _ in range(40)
+    ]
+    am = build_automaton_py(patterns)
+    hay = bytes(rng.choice(b"abc") for _ in range(30_000))
+    p_ref, s_ref = scan_python(am, hay)
+    hay_arr = np.frombuffer(hay, dtype=np.uint8)
+    if classed:
+        p, s = scan_dense_native(
+            am.delta_classed, am.match_count, hay_arr,
+            classes=am.byte_classes,
+        )
+    else:
+        p, s = scan_dense_native(am.delta, am.match_count, hay_arr)
+    assert np.array_equal(p, p_ref)
+    assert np.array_equal(s, s_ref)
+    assert len(p) > 4096  # exercised the overflow-retry protocol
+
+
+def test_native_backend_through_api() -> None:
+    from ahocorasick_rs_tpu import BytesAhoCorasick
+
+    patterns = [b"ring", b"spring", b"gspr"]
+    hay = b"springringgspring" * 500
+    got = BytesAhoCorasick(patterns, backend="native").find_matches_as_indexes(hay)
+    ref = BytesAhoCorasick(patterns, backend="python").find_matches_as_indexes(hay)
+    assert got == ref

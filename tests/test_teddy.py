@@ -92,9 +92,12 @@ def test_teddy_block_boundary_matches() -> None:
 
 
 def test_teddy_dense_corpus_falls_back() -> None:
-    """A corpus where everything fires must return None (fallback signal)."""
-    patterns = [bytes([c]) for c in b"abcdefgh"]
-    hay = bytes(random.Random(1).choice(b"abcdefgh") for _ in range(50_000))
+    """A corpus where everything fires must return None (fallback signal)
+    once verification would rescan too much (fires x window > n/2)."""
+    # every 1-byte pattern fires constantly; the long pattern makes the
+    # verification window (max_len) expensive enough to trip the guard
+    patterns = [bytes([c]) for c in b"abcdefgh"] + [b"abcdefghabcd"]
+    hay = bytes(random.Random(1).choice(b"abcdefgh") for _ in range(200_000))
     am = build_automaton(patterns)
     pf = build_prefilter(patterns)
     t = DeviceTables(am, "dfa")
