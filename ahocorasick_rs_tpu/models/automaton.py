@@ -77,6 +77,7 @@ class Automaton:
     _delta: Optional[np.ndarray] = field(default=None, repr=False)
     _byte_classes: Optional[np.ndarray] = field(default=None, repr=False)
     _delta_classed: Optional[np.ndarray] = field(default=None, repr=False)
+    _packed2: Optional[np.ndarray] = field(default=None, repr=False)
 
     # ------------------------------------------------------------------
     # Dense DFA table (Implementation.DFA analogue)
@@ -172,6 +173,46 @@ class Automaton:
         return self._delta_classed
 
     # ------------------------------------------------------------------
+    # Stride-2 packed table (gather-bound device-scan accelerator)
+    # ------------------------------------------------------------------
+    @property
+    def packed2(self) -> np.ndarray:
+        """``int32 [S, C*C]`` two-byte composed transition table.
+
+        ``packed2[s, c1*C + c2] = delta2 << 2 | end_flag << 1 | mid_flag``
+        where ``delta2`` is the state after consuming a byte of class ``c1``
+        then one of class ``c2`` from ``s``, ``mid_flag`` says the
+        intermediate state has matches, and ``end_flag`` says ``delta2``
+        does.  Device scans step two haystack bytes per gather with this
+        table — exactly halving the lookup count of the gather-bound scan —
+        and recover the (rare) intermediate states only at matched
+        positions.  ``C`` includes the padding class, whose column is
+        all-root with no flags, so lane padding stays inert.
+        """
+        if self._packed2 is None:
+            if self.num_states >= (1 << 29):
+                raise ValueError(
+                    "stride-2 packing needs state ids < 2**29"
+                )
+            dc = self.delta_classed  # [S, C]
+            mc = self.match_count
+            mid = dc  # state after the first byte of the pair
+            d2 = dc[dc]  # [S, C, C]: state after both bytes
+            mid_flag = (mc[mid] > 0).astype(np.int32)[:, :, None]
+            end_flag = (mc[d2] > 0).astype(np.int32)
+            S = self.num_states
+            C = dc.shape[1]
+            self._packed2 = (
+                (d2.astype(np.int32) << 2) | (end_flag << 1) | mid_flag
+            ).reshape(S, C * C)
+        return self._packed2
+
+    @property
+    def packed2_bytes(self) -> int:
+        """Size the stride-2 table would occupy, without building it."""
+        return self.num_states * self.num_classes * self.num_classes * 4
+
+    # ------------------------------------------------------------------
     # Sparse CSR view (Implementation.NoncontiguousNFA analogue)
     # ------------------------------------------------------------------
     @property
@@ -191,6 +232,7 @@ class Automaton:
             "dense_table_bytes": self.num_states * 257 * 4,
             "classed_table_bytes": self.num_states * self.num_classes * 4,
             "num_byte_classes": self.num_classes,
+            "packed2_table_bytes": self.packed2_bytes,
         }
 
 

@@ -108,10 +108,68 @@ def _scan_compact(table, classes, hay, match_count, n, L, T, halo, cap,
     return positions, states_at, total
 
 
+#: build the stride-2 packed table when it fits in this many bytes.
+PACKED2_MAX_BYTES = 256 << 20
+
+
+@partial(jax.jit, static_argnames=("L", "T", "halo", "cap"))
+def _scan_compact2(packed2, table_classed, classes, hay, n, L, T, halo, cap):
+    """Stride-2 scan: two haystack bytes per table gather.
+
+    ``packed2[s, c1*C+c2]`` carries the two-byte-composed next state plus
+    per-pair match flags (``Automaton.packed2``), so the hot loop does half
+    the gathers of the plain scan *and* needs no post-scan ``match_count``
+    gather over the O(n) state stream.  Intermediate (mid-pair) states are
+    reconstructed only at matched positions — O(matches) extra lookups.
+    ``halo`` and ``T`` must be even so pairs align across the halo boundary.
+    """
+    flat = hay.astype(jnp.int32)
+    ext = classes[build_lanes(flat, L, T, halo, n)]  # [L, halo+T] class ids
+    C = table_classed.shape[1]
+    cc = ext[:, 0::2] * C + ext[:, 1::2]  # [L, (halo+T)//2]
+    hp = halo // 2
+
+    def body(states, col):
+        v = packed2[states, col]
+        s = v >> 2
+        return s, (s, v & 3)
+
+    init = jnp.zeros((L,), jnp.int32)
+    if hp:
+        after_halo, _ = jax.lax.scan(body, init, cc[:, :hp].T)
+    else:
+        after_halo = init
+    _, (end_states, flags) = jax.lax.scan(body, after_halo, cc[:, hp:].T)
+    end_states = end_states.T  # [L, T//2] state after each pair
+    flags = flags.T
+
+    idx = jnp.arange(L * T, dtype=jnp.int32)
+    # interleave (mid, end) flags back to per-byte order
+    mask2 = jnp.stack([flags & 1, flags >> 1], axis=-1).reshape(L * T)
+    matched = (mask2 > 0) & (idx < n)
+    total = jnp.sum(matched, dtype=jnp.int32)
+    positions = jnp.nonzero(matched, size=cap, fill_value=-1)[0].astype(
+        jnp.int32
+    )
+    pos_safe = jnp.maximum(positions, 0)
+    pair = pos_safe >> 1
+    flat_end = end_states.reshape(-1)
+    # state entering each pair: previous pair's end state (lane-local)
+    prev = jnp.concatenate(
+        [after_halo[:, None], end_states[:, :-1]], axis=1
+    ).reshape(-1)
+    body_cls = ext[:, halo:].reshape(-1)
+    mid_states = table_classed[prev[pair], body_cls[pair * 2]]
+    states_at = jnp.where((pos_safe & 1) == 1, flat_end[pair], mid_states)
+    states_at = jnp.where(positions >= 0, states_at, -1)
+    return positions, states_at, total
+
+
 class DeviceTables:
     """Per-automaton cache of device-resident tables + scan state."""
 
-    def __init__(self, am: Automaton, engine: str):
+    def __init__(self, am: Automaton, engine: str,
+                 packed2_max_bytes: int = PACKED2_MAX_BYTES):
         self.engine = engine
         if engine == "dfa":
             self.table = jnp.asarray(am.delta)
@@ -122,6 +180,18 @@ class DeviceTables:
             self.classes = jnp.asarray(am.byte_classes)
             self.use_classes = True
         self.match_count = jnp.asarray(am.match_count)
+        # stride-2 tables (used by either engine when they fit: the packed
+        # pair table halves the gather count of the gather-bound scan)
+        self.packed2 = None
+        self.classes2 = None
+        self.table_classed = None
+        if (
+            am.num_states < (1 << 29)
+            and am.packed2_bytes <= packed2_max_bytes
+        ):
+            self.packed2 = jnp.asarray(am.packed2)
+            self.classes2 = jnp.asarray(am.byte_classes)
+            self.table_classed = jnp.asarray(am.delta_classed)
         #: adaptive initial compaction capacity (sticky across calls)
         self.last_cap = 4096
 
@@ -160,7 +230,10 @@ def scan_device(
     if n == 0:
         z = np.zeros(0, dtype=np.int64)
         return z, z
+    stride2 = tables.packed2 is not None
     halo = am.max_len - 1
+    if stride2:
+        halo += halo & 1  # pairs must align across the halo boundary
     all_pos: list[np.ndarray] = []
     all_states: list[np.ndarray] = []
     seg = max(segment_bytes, 2 * max(1, halo))
@@ -175,18 +248,31 @@ def scan_device(
         hay_dev = jnp.asarray(buf)
         cap = tables.last_cap
         while True:
-            pos, st, total = _scan_compact(
-                tables.table,
-                tables.classes,
-                hay_dev,
-                tables.match_count,
-                jnp.int32(m),
-                L,
-                T,
-                halo,
-                cap,
-                tables.use_classes,
-            )
+            if stride2:
+                pos, st, total = _scan_compact2(
+                    tables.packed2,
+                    tables.table_classed,
+                    tables.classes2,
+                    hay_dev,
+                    jnp.int32(m),
+                    L,
+                    T,
+                    halo,
+                    cap,
+                )
+            else:
+                pos, st, total = _scan_compact(
+                    tables.table,
+                    tables.classes,
+                    hay_dev,
+                    tables.match_count,
+                    jnp.int32(m),
+                    L,
+                    T,
+                    halo,
+                    cap,
+                    tables.use_classes,
+                )
             total = int(total)
             if total <= cap:
                 break

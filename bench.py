@@ -113,6 +113,7 @@ def main() -> None:
 
         tables = scan_jax.DeviceTables(am, "dfa")
         halo = am.max_len - 1
+        halo += halo & 1  # stride-2 needs even halo; harmless for stride-1
         L, T = scan_jax.choose_layout(n, halo)
         buf = np.zeros(L * T, dtype=np.uint8)
         buf[:n] = hay
@@ -131,6 +132,23 @@ def main() -> None:
         plain_gbps = n / t / 1e9
         detail["tpu_plain_scan_gbps"] = round(plain_gbps, 4)
         detail["matches"] = matches
+
+        stride2_gbps = None
+        if tables.packed2 is not None:
+
+            def stride2_once(k: int = 0):
+                _, _, total = scan_jax._scan_compact2(
+                    tables.packed2, tables.table_classed, tables.classes2,
+                    hay_dev, jnp.int32(n - k), L, T, halo, cap,
+                )
+                return int(total)
+
+            m2 = stride2_once()
+            assert m2 == matches, (m2, matches)
+            t = _time_best(lambda: stride2_once(1))
+            stride2_gbps = n / t / 1e9
+            detail["tpu_stride2_scan_gbps"] = round(stride2_gbps, 4)
+            plain_gbps = max(plain_gbps, stride2_gbps)
 
         pf = build_prefilter(names)
         detail["prefilter"] = {

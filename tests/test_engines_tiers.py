@@ -129,6 +129,28 @@ def test_device_segmenting_agrees() -> None:
     assert got == want
 
 
+@pytest.mark.parametrize("seed", [0, 1])
+def test_stride2_matches_stride1(seed: int) -> None:
+    """The stride-2 packed-pair scan must agree with the plain scan for
+    odd/even haystack lengths and odd pattern lengths (halo rounding)."""
+    from ahocorasick_rs_tpu.models.automaton import build_automaton
+    from ahocorasick_rs_tpu.ops.scan_jax import DeviceTables, scan_device
+
+    patterns = _patterns(seed, 15, b"abcd") + [b"x"]  # incl. len-1 pattern
+    am = build_automaton(patterns)
+    t2 = DeviceTables(am, "dfa")
+    t1 = DeviceTables(am, "dfa", packed2_max_bytes=0)
+    assert t2.packed2 is not None and t1.packed2 is None
+    for n in (1, 2, 4095, 4096, 4097, 20_000):
+        hay = np.frombuffer(
+            _corpus(seed + n, n, b"abcdx"), dtype=np.uint8
+        )
+        p2, s2 = scan_device(am, hay, t2)
+        p1, s1 = scan_device(am, hay, t1)
+        assert np.array_equal(p1, p2), n
+        assert np.array_equal(s1, s2), n
+
+
 def test_auto_backend_consistency_across_sizes() -> None:
     """The auto dispatcher's tier boundaries must be seamless."""
     patterns = [b"ring", b"spring", b"ingspr"]
