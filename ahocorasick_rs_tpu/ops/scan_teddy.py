@@ -128,23 +128,12 @@ def fire_mask(
     )(tables, hay2d)
 
 
-@partial(jax.jit, static_argnames=("cap", "m", "words"))
-def _fire_positions(tables, hay2d, n, cap, m, words):
-    mask = fire_mask(tables, hay2d, m, words).reshape(-1)
-    idx = jnp.arange(mask.shape[0], dtype=jnp.int32)
-    fired = (mask != 0) & (idx < n)
-    total = jnp.sum(fired, dtype=jnp.int32)
-    pos = jnp.nonzero(fired, size=cap, fill_value=-1)[0].astype(jnp.int32)
-    return pos, total
-
-
-@partial(jax.jit, static_argnames=("W", "cap", "use_classes"))
-def _verify_windows(table, classes, hay_flat, fire_pos, match_count, n, W,
-                    cap, use_classes):
+def _verify_body(table, classes, hay_flat, fire_pos, match_count, n, W,
+                 cap2, use_classes):
     """Walk max_len windows from each fire position; compact match steps.
 
     hay_flat: int32 haystack (padded); fire_pos: int32 [M] (-1 padded).
-    Returns (win_idx[cap], step[cap], state[cap], total).
+    Returns (win_idx[cap2], step[cap2], state[cap2], total).
     """
     M = fire_pos.shape[0]
     col = jnp.arange(W, dtype=jnp.int32)[None, :]
@@ -164,11 +153,40 @@ def _verify_windows(table, classes, hay_flat, fire_pos, match_count, n, W,
     matched = match_count[states] > 0
     flat = matched.reshape(-1)
     total = jnp.sum(flat, dtype=jnp.int32)
-    sel = jnp.nonzero(flat, size=cap, fill_value=-1)[0].astype(jnp.int32)
+    sel = jnp.nonzero(flat, size=cap2, fill_value=-1)[0].astype(jnp.int32)
     win = jnp.where(sel >= 0, sel // W, -1)
     step = jnp.where(sel >= 0, sel % W, 0)
     st = states.reshape(-1)[jnp.maximum(sel, 0)]
     return win, step, st, total
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cap", "cap2", "m", "words", "W", "use_classes"),
+)
+def _fire_verify(tables, table, classes, hay2d, match_count, n, cap, cap2,
+                 m, words, W, use_classes):
+    """Fused fire + compact + verify in ONE device dispatch.
+
+    A round trip on this fabric costs ~100ms, so the prefilter pipeline must
+    not bounce fire positions through the host between stages.  Results are
+    only trustworthy when ``ftotal <= cap`` and ``mtotal <= cap2`` — the
+    caller retries with doubled capacities otherwise (overflow-and-rescan
+    protocol, SURVEY.md §7).
+    """
+    mask = fire_mask(tables, hay2d, m, words).reshape(-1)
+    idx = jnp.arange(mask.shape[0], dtype=jnp.int32)
+    fired = (mask != 0) & (idx < n)
+    ftotal = jnp.sum(fired, dtype=jnp.int32)
+    fire_pos = jnp.nonzero(fired, size=cap, fill_value=-1)[0].astype(
+        jnp.int32
+    )
+    hay_flat = hay2d.reshape(-1).astype(jnp.int32)
+    win, step, st, mtotal = _verify_body(
+        table, classes, hay_flat, fire_pos, match_count, n, W, cap2,
+        use_classes,
+    )
+    return fire_pos, ftotal, win, step, st, mtotal
 
 
 def _bucket(x: int, lo: int = 1024) -> int:
@@ -216,40 +234,41 @@ class TeddyScanner:
         W = am.max_len
         if hay2d is None:
             hay2d = self.stage(hay)
-        cap = self.fire_cap
+        cap, cap2 = self.fire_cap, self.match_cap
+        too_many = max(1 << 16, n // 2)  # fires×W beyond this: dense wins
         while True:
-            pos, total = _fire_positions(
-                self.tables, hay2d, jnp.int32(n), cap, self.m, self.words
-            )
-            total = int(total)
-            if total <= cap:
-                break
-            cap = _bucket(total)
-        self.fire_cap = max(1 << 14, _bucket(total))
-        if total * max(W, 1) > max(1 << 16, n // 2):
-            # verification would rescan too much — let caller fall back
-            self.worthwhile = False
-            return None
-        fire_pos = pos[:_bucket(max(total, 1))]
-        hay_flat = hay2d.reshape(-1).astype(jnp.int32)
-        cap2 = self.match_cap
-        while True:
-            win, step, st, mtotal = _verify_windows(
+            fire_pos, ftotal, win, step, st, mtotal = _fire_verify(
+                self.tables,
                 self.table,
                 self.classes,
-                hay_flat,
-                fire_pos,
+                hay2d,
                 self.match_count,
                 jnp.int32(n),
-                W,
+                cap,
                 cap2,
+                self.m,
+                self.words,
+                W,
                 self.use_classes,
             )
-            mtotal = int(mtotal)
-            if mtotal <= cap2:
-                break
-            cap2 = _bucket(mtotal)
-        self.match_cap = max(1 << 12, _bucket(mtotal))
+            ftotal = int(ftotal)
+            if ftotal > cap:
+                if ftotal * max(W, 1) > too_many:
+                    self.worthwhile = False
+                    return None
+                cap = _bucket(ftotal)
+                continue
+            mtotal = int(mtotal)  # trustworthy only once ftotal <= cap
+            if mtotal > cap2:
+                cap2 = _bucket(mtotal)
+                continue
+            break
+        self.fire_cap = max(1 << 14, _bucket(max(ftotal, 1)))
+        self.match_cap = max(1 << 12, _bucket(max(mtotal, 1)))
+        if ftotal * max(W, 1) > too_many:
+            # verification rescans too much — let caller fall back
+            self.worthwhile = False
+            return None
         win = np.asarray(win[:mtotal], dtype=np.int64)
         step = np.asarray(step[:mtotal], dtype=np.int64)
         st = np.asarray(st[:mtotal], dtype=np.int64)
