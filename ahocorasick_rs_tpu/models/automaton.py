@@ -195,16 +195,22 @@ class Automaton:
                     "stride-2 packing needs state ids < 2**29"
                 )
             dc = self.delta_classed  # [S, C]
-            mc = self.match_count
-            mid = dc  # state after the first byte of the pair
-            d2 = dc[dc]  # [S, C, C]: state after both bytes
-            mid_flag = (mc[mid] > 0).astype(np.int32)[:, :, None]
-            end_flag = (mc[d2] > 0).astype(np.int32)
+            has = (self.match_count > 0).astype(np.int32)
             S = self.num_states
             C = dc.shape[1]
-            self._packed2 = (
-                (d2.astype(np.int32) << 2) | (end_flag << 1) | mid_flag
-            ).reshape(S, C * C)
+            out = np.empty((S, C * C), dtype=np.int32)
+            # chunk over states so transient [chunk, C, C] intermediates stay
+            # small (ADVICE r1: the one-shot [S, C, C] build tripled memory)
+            chunk = max(1, (32 << 20) // (C * C * 4))
+            for lo in range(0, S, chunk):
+                hi = min(S, lo + chunk)
+                mid = dc[lo:hi]  # [c, C] state after the first byte
+                d2 = dc[mid]  # [c, C, C]: state after both bytes
+                np.copyto(
+                    out[lo:hi].reshape(hi - lo, C, C),
+                    (d2 << 2) | (has[d2] << 1) | has[mid][:, :, None],
+                )
+            self._packed2 = out
         return self._packed2
 
     @property

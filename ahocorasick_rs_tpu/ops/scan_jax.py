@@ -180,20 +180,32 @@ class DeviceTables:
             self.classes = jnp.asarray(am.byte_classes)
             self.use_classes = True
         self.match_count = jnp.asarray(am.match_count)
+        self._am = am
         # stride-2 tables (used by either engine when they fit: the packed
-        # pair table halves the gather count of the gather-bound scan)
+        # pair table halves the gather count of the gather-bound scan).
+        # Built lazily on first device scan (ADVICE r1: eager build cost
+        # up to 256MB HBM + host transients even for callers that never
+        # scan); the low-memory 'classed' engine gets a tighter budget.
         self.packed2 = None
         self.classes2 = None
         self.table_classed = None
-        if (
-            am.num_states < (1 << 29)
-            and am.packed2_bytes <= packed2_max_bytes
-        ):
+        budget = packed2_max_bytes if engine == "dfa" else (64 << 20)
+        self._packed2_ok = (
+            am.num_states < (1 << 29) and am.packed2_bytes <= budget
+        )
+        #: adaptive initial compaction capacity (sticky across calls)
+        self.last_cap = 4096
+
+    def ensure_packed2(self) -> bool:
+        """Build + upload the stride-2 tables on first use; False if unfit."""
+        if not self._packed2_ok:
+            return False
+        if self.packed2 is None:
+            am = self._am
             self.packed2 = jnp.asarray(am.packed2)
             self.classes2 = jnp.asarray(am.byte_classes)
             self.table_classed = jnp.asarray(am.delta_classed)
-        #: adaptive initial compaction capacity (sticky across calls)
-        self.last_cap = 4096
+        return True
 
 
 def _bucket(x: int, lo: int = 16) -> int:
@@ -230,7 +242,7 @@ def scan_device(
     if n == 0:
         z = np.zeros(0, dtype=np.int64)
         return z, z
-    stride2 = tables.packed2 is not None
+    stride2 = tables.ensure_packed2()
     halo = am.max_len - 1
     if stride2:
         halo += halo & 1  # pairs must align across the halo boundary

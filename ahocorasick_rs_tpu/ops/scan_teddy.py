@@ -254,6 +254,9 @@ class TeddyScanner:
             ftotal = int(ftotal)
             if ftotal > cap:
                 if ftotal * max(W, 1) > too_many:
+                    # keep the sticky caps in step with what we observed so
+                    # a retried corpus doesn't re-run the undersized kernel
+                    self.fire_cap = max(self.fire_cap, _bucket(ftotal))
                     self.worthwhile = False
                     return None
                 cap = _bucket(ftotal)

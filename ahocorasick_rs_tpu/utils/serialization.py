@@ -58,23 +58,27 @@ def load_automaton(path: str) -> Automaton:
 
 
 def save_matcher(path: str, matcher) -> None:
-    """Persist an ``AhoCorasick``/``BytesAhoCorasick`` with its config."""
+    """Persist an ``AhoCorasick``/``BytesAhoCorasick`` with its config.
+
+    The raw byte patterns are always persisted (flat blob + lengths): the
+    Teddy prefilter compiles from them, so a loaded matcher must keep them
+    to stay performance-identical, not merely behaviorally identical.
+    """
     meta = {
         "class": type(matcher).__name__,
         "matchkind": matcher._matchkind.name,
         "implementation": matcher._implementation.name,
-        "patterns": None,
+        "patterns_stored": getattr(matcher, "_patterns", None) is not None,
     }
-    stored = getattr(matcher, "_patterns", None)
-    if stored is not None:
-        meta["patterns"] = stored
     am = matcher._automaton
+    blob = b"".join(matcher._byte_patterns)
     np.savez_compressed(
         path,
         __format__=np.int64(_FORMAT_VERSION),
         __meta__=np.frombuffer(
             json.dumps(meta).encode("utf-8"), dtype=np.uint8
         ),
+        pattern_blob=np.frombuffer(blob, dtype=np.uint8),
         edge_keys=am.edge_keys,
         edge_targets=am.edge_targets,
         fail=am.fail,
@@ -107,9 +111,15 @@ def load_matcher(path: str):
             z["pattern_lens"],
             goto=None,
         )
+        blob = bytes(z["pattern_blob"])
     cls = {"AhoCorasick": AhoCorasick, "BytesAhoCorasick": BytesAhoCorasick}[
         meta["class"]
     ]
+    byte_patterns: list[bytes] = []
+    off = 0
+    for ln in am.pattern_lens.tolist():
+        byte_patterns.append(blob[off : off + ln])
+        off += ln
     matcher = cls.__new__(cls)
     matcher._matchkind = MatchKind[meta["matchkind"]]
     matcher._implementation = Implementation[meta["implementation"]]
@@ -117,14 +127,12 @@ def load_matcher(path: str):
     matcher._backend = "auto"
     matcher._device_tables = None
     matcher._teddy = None
-    if meta["patterns"] is not None:
-        matcher._byte_patterns = [p.encode("utf-8") for p in meta["patterns"]]
-        matcher._teddy_state = "auto"
-    else:
-        # prefilter tables need the original patterns; without them the
-        # loaded matcher just uses the dense scan paths
-        matcher._byte_patterns = None
-        matcher._teddy_state = "off"
+    matcher._byte_patterns = byte_patterns
+    matcher._teddy_state = "auto"
     if cls is AhoCorasick:
-        matcher._patterns = meta["patterns"]
+        matcher._patterns = (
+            [p.decode("utf-8") for p in byte_patterns]
+            if meta.get("patterns_stored")
+            else None
+        )
     return matcher

@@ -140,7 +140,7 @@ def test_stride2_matches_stride1(seed: int) -> None:
     am = build_automaton(patterns)
     t2 = DeviceTables(am, "dfa")
     t1 = DeviceTables(am, "dfa", packed2_max_bytes=0)
-    assert t2.packed2 is not None and t1.packed2 is None
+    assert t2.ensure_packed2() and not t1.ensure_packed2()
     for n in (1, 2, 4095, 4096, 4097, 20_000):
         hay = np.frombuffer(
             _corpus(seed + n, n, b"abcdx"), dtype=np.uint8

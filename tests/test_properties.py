@@ -13,7 +13,15 @@ from typing import Optional
 from hypothesis import given
 from hypothesis import strategies as st
 
-from ahocorasick_rs_tpu import AhoCorasick, BytesAhoCorasick
+from ahocorasick_rs_tpu import AhoCorasick, BytesAhoCorasick, Implementation
+
+# SURVEY.md §4 flags that the reference never runs its hypothesis paths
+# with a forced `implementation`; the TPU build closes that gap by drawing
+# the engine as part of every property (None == auto-selection).
+IMPLS = st.sampled_from(
+    [None, Implementation.NoncontiguousNFA, Implementation.ContiguousNFA,
+     Implementation.DFA]
+)
 
 
 @given(
@@ -34,17 +42,22 @@ def test_construction_extensive(
 @given(
     st.text(), st.text(min_size=1), st.text(),
     st.sampled_from([True, False, None]),
+    IMPLS,
 )
 def test_unicode_extensive(
-    prefix: str, pattern: str, suffix: str, store_patterns: Optional[bool]
+    prefix: str, pattern: str, suffix: str, store_patterns: Optional[bool],
+    implementation: Optional[Implementation],
 ) -> None:
     """Code-point slicing correctness on arbitrary unicode
     (/root/reference/tests/test_ac.py:135-154)."""
     haystack = prefix + pattern + suffix
     if store_patterns is None:
-        ac = AhoCorasick([pattern])
+        ac = AhoCorasick([pattern], implementation=implementation)
     else:
-        ac = AhoCorasick([pattern], store_patterns=store_patterns)
+        ac = AhoCorasick(
+            [pattern], store_patterns=store_patterns,
+            implementation=implementation,
+        )
     index_matches = ac.find_matches_as_indexes(haystack)
     assert {i for (i, _, _) in index_matches} == {0}
     assert {haystack[s:e] for (_, s, e) in index_matches} == {pattern}
@@ -52,17 +65,22 @@ def test_unicode_extensive(
 
 
 @given(
-    st.text(min_size=1), st.text(), st.sampled_from([True, False, None])
+    st.text(min_size=1), st.text(), st.sampled_from([True, False, None]),
+    IMPLS,
 )
 def test_unicode_totally_random(
-    pattern: str, haystack: str, store_patterns: Optional[bool]
+    pattern: str, haystack: str, store_patterns: Optional[bool],
+    implementation: Optional[Implementation],
 ) -> None:
     """First-match start equals ``str.find``
     (/root/reference/tests/test_ac.py:171-193)."""
     if store_patterns is None:
-        ac = AhoCorasick([pattern])
+        ac = AhoCorasick([pattern], implementation=implementation)
     else:
-        ac = AhoCorasick([pattern], store_patterns=store_patterns)
+        ac = AhoCorasick(
+            [pattern], store_patterns=store_patterns,
+            implementation=implementation,
+        )
     index_matches = ac.find_matches_as_indexes(haystack)
     string_matches = ac.find_matches_as_strings(haystack)
     expected_index = haystack.find(pattern)
@@ -87,23 +105,27 @@ def test_bytes_construction_extensive(patterns: list[bytes]) -> None:
         ] == [haystack]
 
 
-@given(st.binary(), st.binary(min_size=1), st.binary())
+@given(st.binary(), st.binary(min_size=1), st.binary(), IMPLS)
 def test_random_bytes_extensive(
-    prefix: bytes, pattern: bytes, suffix: bytes
+    prefix: bytes, pattern: bytes, suffix: bytes,
+    implementation: Optional[Implementation],
 ) -> None:
     """/root/reference/tests/test_ac_bytes.py:149-161."""
     haystack = prefix + pattern + suffix
-    ac = BytesAhoCorasick([pattern])
+    ac = BytesAhoCorasick([pattern], implementation=implementation)
     index_matches = ac.find_matches_as_indexes(haystack)
     assert {i for (i, _, _) in index_matches} == {0}
     assert {haystack[s:e] for (_, s, e) in index_matches} == {pattern}
 
 
-@given(st.binary(min_size=1), st.binary())
-def test_bytes_totally_random(pattern: bytes, haystack: bytes) -> None:
+@given(st.binary(min_size=1), st.binary(), IMPLS)
+def test_bytes_totally_random(
+    pattern: bytes, haystack: bytes,
+    implementation: Optional[Implementation],
+) -> None:
     """First-match start equals ``bytes.find``
     (/root/reference/tests/test_ac_bytes.py:175-189)."""
-    ac = BytesAhoCorasick([pattern])
+    ac = BytesAhoCorasick([pattern], implementation=implementation)
     index_matches = ac.find_matches_as_indexes(haystack)
     expected_index = haystack.find(pattern)
     if expected_index == -1:

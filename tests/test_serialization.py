@@ -53,6 +53,28 @@ def test_matcher_roundtrip_bytes(tmp_path) -> None:
     ) == b.find_matches_as_indexes(hay, overlapping=True)
 
 
+def test_matcher_roundtrip_keeps_patterns(tmp_path) -> None:
+    """Byte patterns persist for BOTH classes (non-UTF-8 bytes included), so
+    a loaded matcher can still compile its Teddy prefilter — performance
+    identity, not just behavioral identity."""
+    raw = [b"\xff\xfe", b"ab\x00cd", b"hello"]
+    b = BytesAhoCorasick(raw)
+    path = str(tmp_path / "p.npz")
+    save_matcher(path, b)
+    b2 = load_matcher(path)
+    assert b2._byte_patterns == raw
+    assert b2._teddy_state == "auto"
+
+    # str matcher with store_patterns=False still keeps byte patterns
+    ac = AhoCorasick(["alpha", "beta"], store_patterns=False)
+    path2 = str(tmp_path / "p2.npz")
+    save_matcher(path2, ac)
+    ac2 = load_matcher(path2)
+    assert ac2._patterns is None  # store_patterns choice preserved
+    assert ac2._byte_patterns == [b"alpha", b"beta"]
+    assert ac2.find_matches_as_strings("a beta alpha") == ["beta", "alpha"]
+
+
 def test_version_check(tmp_path) -> None:
     am = build_automaton([b"x"])
     path = str(tmp_path / "v.npz")
