@@ -178,7 +178,6 @@ class _MatcherBase:
                 return None
         if self._teddy is None:
             from .models.prefilter import build_prefilter
-            from .ops.scan_jax import DeviceTables
             from .ops.scan_teddy import TeddyScanner
 
             pf = build_prefilter(self._byte_patterns)

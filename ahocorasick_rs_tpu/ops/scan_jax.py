@@ -189,7 +189,13 @@ class DeviceTables:
         self.packed2 = None
         self.classes2 = None
         self.table_classed = None
-        budget = packed2_max_bytes if engine == "dfa" else (64 << 20)
+        # low-memory 'classed' engine gets a tighter default, but an
+        # explicit caller cap (including 0 to disable) is always honored
+        budget = (
+            packed2_max_bytes
+            if engine == "dfa"
+            else min(packed2_max_bytes, 64 << 20)
+        )
         self._packed2_ok = (
             am.num_states < (1 << 29) and am.packed2_bytes <= budget
         )

@@ -15,13 +15,16 @@ a saved matcher behaves identically after loading (including
 from __future__ import annotations
 
 import json
-from typing import Optional
 
 import numpy as np
 
 from ..models.automaton import Automaton, _finalize
 
+#: bare-automaton .npz format (arrays only, no matcher metadata)
 _FORMAT_VERSION = 1
+#: matcher .npz format; v2 added the mandatory ``pattern_blob`` array and
+#: renamed the ``patterns`` meta key to ``patterns_stored``
+_MATCHER_FORMAT_VERSION = 2
 
 
 def save_automaton(path: str, am: Automaton) -> None:
@@ -74,7 +77,7 @@ def save_matcher(path: str, matcher) -> None:
     blob = b"".join(matcher._byte_patterns)
     np.savez_compressed(
         path,
-        __format__=np.int64(_FORMAT_VERSION),
+        __format__=np.int64(_MATCHER_FORMAT_VERSION),
         __meta__=np.frombuffer(
             json.dumps(meta).encode("utf-8"), dtype=np.uint8
         ),
@@ -96,11 +99,16 @@ def load_matcher(path: str):
 
     with np.load(path) as z:
         version = int(z["__format__"])
-        if version != _FORMAT_VERSION:
+        if version not in (1, _MATCHER_FORMAT_VERSION):
             raise ValueError(
                 f"unsupported matcher format version {version}"
             )
         meta = json.loads(bytes(z["__meta__"]).decode("utf-8"))
+        if version == 1 and "pattern_blob" not in z:
+            raise ValueError(
+                "unsupported matcher format version 1 (no pattern data; "
+                "re-save with save_matcher)"
+            )
         am = _finalize(
             z["edge_keys"],
             z["edge_targets"],

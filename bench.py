@@ -105,7 +105,6 @@ def main() -> None:
     plain_gbps = teddy_gbps = None
     matches = None
     try:
-        import jax
         import jax.numpy as jnp
 
         from ahocorasick_rs_tpu.ops import scan_jax
@@ -134,7 +133,7 @@ def main() -> None:
         detail["matches"] = matches
 
         stride2_gbps = None
-        if tables.packed2 is not None:
+        if tables.ensure_packed2():
 
             def stride2_once(k: int = 0):
                 _, _, total = scan_jax._scan_compact2(

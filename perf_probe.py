@@ -28,7 +28,6 @@ def main():
     rng = np.random.default_rng(0)
     print("backend:", jax.default_backend(), flush=True)
 
-    import string
     from bench import synth_names, synth_corpus
     from ahocorasick_rs_tpu.models.automaton import build_automaton
 
@@ -108,7 +107,7 @@ def main():
     hd = jnp.asarray(buf)
     hd.block_until_ready()
 
-    if tables.packed2 is not None:
+    if tables.ensure_packed2():
         @partial(jax.jit, static_argnames=("L", "T", "halo"))
         def f_scan2_total(packed2, classes, hay, n, L, T, halo):
             flat = hay.astype(jnp.int32)
