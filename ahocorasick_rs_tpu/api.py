@@ -159,23 +159,10 @@ class _MatcherBase:
         return True
 
     # -- prefiltered (Teddy) path --------------------------------------
-    def _try_teddy(self, hay: np.ndarray):
-        """Return the complete occurrence set via the prefiltered scan, or
-        None when the prefilter is off/unprofitable for this matcher."""
-        if self._teddy_state == "off":
-            return None
-        n = len(hay)
+    def _get_teddy(self):
+        """Build (once) and return the TeddyScanner, or None if unfit."""
         if self._implementation is Implementation.NoncontiguousNFA:
             return None
-        if self._teddy_state == "auto":
-            import jax
-
-            if (
-                self._backend not in ("auto", "device")
-                or n < DEVICE_TIER_MIN
-                or jax.default_backend() != "tpu"
-            ):
-                return None
         if self._teddy is None:
             from .models.prefilter import build_prefilter
             from .ops.scan_teddy import TeddyScanner
@@ -195,6 +182,29 @@ class _MatcherBase:
                 tables.match_count,
                 tables.use_classes,
             )
+        return self._teddy
+
+    def _teddy_wanted(self, n: int) -> bool:
+        """Should the prefiltered device pipeline serve ``n`` bytes?"""
+        if self._teddy_state == "off":
+            return False
+        if self._teddy_state == "force":
+            return True
+        import jax
+
+        return (
+            self._backend in ("auto", "device")
+            and n >= DEVICE_TIER_MIN
+            and jax.default_backend() == "tpu"
+        )
+
+    def _try_teddy(self, hay: np.ndarray):
+        """Return the complete occurrence set via the prefiltered scan, or
+        None when the prefilter is off/unprofitable for this matcher."""
+        if not self._teddy_wanted(len(hay)):
+            return None
+        if self._get_teddy() is None:
+            return None
         occ = self._teddy.occurrences(hay)
         if occ is None:
             # observed fire rate too high on this corpus — stop trying
@@ -214,6 +224,87 @@ class _MatcherBase:
                 self._automaton, engine
             )
         return self._device_tables
+
+    # -- batched many-small-haystack path ------------------------------
+    def _batch_occurrences(self, docs: list) -> list:
+        """Per-document complete occurrence sets in one device dispatch.
+
+        The documents share a zero-padded ``[B, T]`` layout (one lane per
+        document, ``T`` a power of two).  The prefiltered pipeline runs
+        over the flattened buffer — lanes never share a COARSE group since
+        ``T % COARSE == 0`` — and matches are filtered to their owning
+        document's byte range, so cross-document false matches (spanning
+        padding into the next lane) are impossible.
+        """
+        from .ops import scan_jax
+
+        am = self._automaton
+        B = len(docs)
+        longest = max((len(d) for d in docs), default=1)
+        T = scan_jax._bucket(max(longest, 16), lo=16)
+        total = sum(len(d) for d in docs)
+        occ = None
+        if self._teddy_wanted(total) and self._get_teddy() is not None:
+            Bb = scan_jax._bucket(max(B, 8), lo=8)
+            buf = np.zeros(Bb * T, dtype=np.uint8)
+            lens = np.zeros(Bb, dtype=np.int64)
+            for i, d in enumerate(docs):
+                buf[i * T : i * T + len(d)] = d
+                lens[i] = len(d)
+            occ = self._teddy.occurrences(buf)
+            if occ is None:
+                self._teddy_state = "off"
+        if occ is not None:
+            pids, starts, ends = occ
+            lane = starts // T
+            keep = (lane < B) & (ends <= lane * T + lens[lane])
+            pids, starts, ends = pids[keep], starts[keep], ends[keep]
+            lane = starts // T
+            # occurrences are end-ascending, so lanes are non-decreasing
+            bounds = np.searchsorted(ends, np.arange(1, B + 1) * T, "right")
+            out = []
+            prev = 0
+            for i in range(B):
+                hi = bounds[i]
+                out.append(
+                    (
+                        pids[prev:hi],
+                        starts[prev:hi] - i * T,
+                        ends[prev:hi] - i * T,
+                    )
+                )
+                prev = hi
+            return out
+        per_doc = scan_jax.scan_device_batch(
+            am, docs, self._get_device_tables()
+        )
+        return [
+            _resolve.expand_occurrences(am, p, s) for p, s in per_doc
+        ]
+
+    def _find_batch(
+        self, docs: list, overlapping: bool
+    ) -> list[list[tuple[int, int, int]]]:
+        if overlapping and self._matchkind is not MatchKind.Standard:
+            raise ValueError(_OVERLAPPING_ERROR)
+        backend = self._backend
+        total = sum(len(d) for d in docs)
+        if backend == "auto":
+            use_device = total >= DEVICE_TIER_MIN and len(docs) > 1
+        else:
+            use_device = backend == "device"
+        if (
+            not use_device
+            or self._implementation is Implementation.NoncontiguousNFA
+        ):
+            return [self._find(d, overlapping) for d in docs]
+        kind = self._matchkind.value
+        return [
+            _resolve.resolve(
+                pids, starts, ends, kind=kind, overlapping=overlapping
+            )
+            for (pids, starts, ends) in self._batch_occurrences(docs)
+        ]
 
     def _find(
         self, hay: np.ndarray, overlapping: bool
@@ -302,6 +393,37 @@ class AhoCorasick(_MatcherBase):
         cp = byte_to_codepoint_prefix(hay)
         return [(p, int(cp[s]), int(cp[e])) for (p, s, e) in matches]
 
+    def find_matches_as_indexes_batch(
+        self, haystacks: Iterable[str], overlapping: bool = False
+    ) -> list[list[tuple[int, int, int]]]:
+        """Batched :meth:`find_matches_as_indexes` over many haystacks.
+
+        TPU extra (no reference counterpart): scans every haystack in one
+        device dispatch — the layout the reference's own benchmark
+        workload has (10k-100k documents of ~70-600 chars,
+        /root/reference/benchmarks/test_comparison.py:16-53).  Output is
+        exactly ``[find_matches_as_indexes(h, overlapping) for h in
+        haystacks]``.
+        """
+        datas = []
+        for h in haystacks:
+            if not isinstance(h, str):
+                raise TypeError(
+                    f"haystack must be a str, not {type(h).__name__!r}"
+                )
+            datas.append(h.encode("utf-8"))
+        hays = [np.frombuffer(d, dtype=np.uint8) for d in datas]
+        batches = self._find_batch(hays, overlapping)
+        out = []
+        for d, hay, matches in zip(datas, hays, batches):
+            if matches and len(d) != len(d.decode("utf-8")):
+                cp = byte_to_codepoint_prefix(hay)
+                matches = [
+                    (p, int(cp[s]), int(cp[e])) for (p, s, e) in matches
+                ]
+            out.append(matches)
+        return out
+
     def find_matches_as_strings(
         self, haystack: str, overlapping: bool = False
     ) -> list[str]:
@@ -321,6 +443,29 @@ class AhoCorasick(_MatcherBase):
         if self._patterns is not None:
             return [self._patterns[p] for (p, _, _) in matches]
         return [data[s:e].decode("utf-8") for (_, s, e) in matches]
+
+    def find_matches_as_strings_batch(
+        self, haystacks: Iterable[str], overlapping: bool = False
+    ) -> list[list[str]]:
+        """Batched :meth:`find_matches_as_strings` (TPU extra)."""
+        datas = []
+        for h in haystacks:
+            if not isinstance(h, str):
+                raise TypeError(
+                    f"haystack must be a str, not {type(h).__name__!r}"
+                )
+            datas.append(h.encode("utf-8"))
+        hays = [np.frombuffer(d, dtype=np.uint8) for d in datas]
+        batches = self._find_batch(hays, overlapping)
+        if self._patterns is not None:
+            return [
+                [self._patterns[p] for (p, _, _) in matches]
+                for matches in batches
+            ]
+        return [
+            [d[s:e].decode("utf-8") for (_, s, e) in matches]
+            for d, matches in zip(datas, batches)
+        ]
 
 
 class BytesAhoCorasick(_MatcherBase):
@@ -354,3 +499,14 @@ class BytesAhoCorasick(_MatcherBase):
         """All matches as ``(pattern_index, start, end)`` byte tuples."""
         hay = as_byte_view(haystack)
         return self._find(hay, overlapping)
+
+    def find_matches_as_indexes_batch(
+        self, haystacks: Iterable, overlapping: bool = False
+    ) -> list[list[tuple[int, int, int]]]:
+        """Batched :meth:`find_matches_as_indexes` (TPU extra).
+
+        One device dispatch for many bytes-like haystacks; output equals
+        the per-haystack loop exactly.
+        """
+        hays = [as_byte_view(h) for h in haystacks]
+        return self._find_batch(hays, overlapping)

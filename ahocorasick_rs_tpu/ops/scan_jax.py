@@ -78,6 +78,58 @@ def scan_lanes(table: jnp.ndarray, ext: jnp.ndarray, halo: int):
     return out.T  # [L, T]
 
 
+#: bytes per block of the two-level sparse compaction
+COMPACT_BLOCK = 512
+
+
+def compact_sparse(mask: jnp.ndarray, cap: int,
+                   block: int = COMPACT_BLOCK) -> tuple:
+    """Ascending indexes of the True elements of a rare boolean mask.
+
+    The direct ``jnp.nonzero(size=cap)`` lowering is top_k-like and costs
+    ~10 ms/MB on this fabric (measured, PERF_NOTES.md) — it dominated every
+    scan path in rounds 1-2.  This two-level scheme is bandwidth-bound
+    instead: per-block counts (a cheap reduction over the whole mask), a
+    small ``nonzero`` over the fired *blocks*, then rank-and-scatter over
+    the selected blocks only.  Work beyond the reduction scales with
+    ``cap * block``, not the mask size.
+
+    Returns ``(idx[cap] int32 (-1 padded), total)``; ``idx`` is only
+    trustworthy when ``total <= cap`` (the caller's overflow-retry
+    protocol).  Since every fired block holds >= 1 match, fired blocks
+    never exceed ``total``, so a single capacity covers both levels.
+    """
+    mask = mask.astype(bool)
+    N = mask.shape[0]
+    pad = (-N) % block
+    if pad:
+        mask = jnp.concatenate(
+            [mask, jnp.zeros((pad,), dtype=mask.dtype)]
+        )
+    Nb = (N + pad) // block
+    m2 = mask.reshape(Nb, block)
+    cnt = jnp.sum(m2, axis=1, dtype=jnp.int32)
+    total = jnp.sum(cnt)
+    fired = cnt > 0
+    blk = jnp.nonzero(fired, size=min(cap, Nb), fill_value=Nb)[0].astype(
+        jnp.int32
+    )
+    valid = blk < Nb
+    safe = jnp.where(valid, blk, 0)
+    rows = m2[safe] & valid[:, None]
+    scnt = jnp.sum(rows, axis=1, dtype=jnp.int32)
+    offs = jnp.cumsum(scnt) - scnt
+    rank = jnp.cumsum(rows, axis=1, dtype=jnp.int32) - rows
+    tgt = jnp.where(rows, offs[:, None] + rank, cap)
+    pos = safe[:, None] * block + jnp.arange(block, dtype=jnp.int32)[None, :]
+    idx = (
+        jnp.full((cap,), -1, jnp.int32)
+        .at[tgt.reshape(-1)]
+        .set(pos.reshape(-1), mode="drop")
+    )
+    return idx, total
+
+
 @partial(
     jax.jit,
     static_argnames=("L", "T", "halo", "cap", "use_classes"),
@@ -98,14 +150,96 @@ def _scan_compact(table, classes, hay, match_count, n, L, T, halo, cap,
     flat_s = out.reshape(-1)
     idx = jnp.arange(L * T, dtype=jnp.int32)
     matched = (match_count[flat_s] > 0) & (idx < n)
-    total = jnp.sum(matched, dtype=jnp.int32)
-    positions = jnp.nonzero(matched, size=cap, fill_value=-1)[0].astype(
-        jnp.int32
-    )
+    positions, total = compact_sparse(matched, cap)
     states_at = jnp.where(
         positions >= 0, flat_s[jnp.maximum(positions, 0)], -1
     )
     return positions, states_at, total
+
+
+@partial(jax.jit, static_argnames=("cap", "use_classes"))
+def _scan_batch_compact(table, classes, hay2d, lens, match_count, cap,
+                        use_classes):
+    """Batched scan: one document per lane, no halo (each starts at root).
+
+    ``hay2d`` is uint8 ``[B, T]`` (zero-padded documents), ``lens`` int32
+    ``[B]``.  This is the device path for the reference's actual benchmark
+    workload — tens of thousands of ~70-600 char haystacks
+    (/root/reference/benchmarks/test_comparison.py:16-53) — which the
+    per-call streaming scan can never serve (per-dispatch latency ~30ms).
+    Returns compacted flat (lane*T + t) positions, states and the total.
+    """
+    B, T = hay2d.shape
+    col = jnp.arange(T, dtype=jnp.int32)[None, :]
+    ext = jnp.where(col < lens[:, None], hay2d.astype(jnp.int32), PAD_BYTE)
+    if use_classes:
+        ext = classes[ext]
+
+    def body(states, c):
+        states = table[states, c]
+        return states, states
+
+    _, out = jax.lax.scan(body, jnp.zeros((B,), jnp.int32), ext.T)
+    flat_s = out.T.reshape(-1)
+    valid = (col < lens[:, None]).reshape(-1)
+    matched = (match_count[flat_s] > 0) & valid
+    positions, total = compact_sparse(matched, cap)
+    states_at = jnp.where(
+        positions >= 0, flat_s[jnp.maximum(positions, 0)], -1
+    )
+    return positions, states_at, total
+
+
+def scan_device_batch(
+    am: Automaton,
+    docs: list,
+    tables: "DeviceTables",
+) -> list:
+    """Scan many small documents in one device dispatch.
+
+    Returns a list of per-document ``(positions, states)`` int64 pairs,
+    each identical to what a single-document scan would produce.
+    """
+    B = len(docs)
+    if B == 0:
+        return []
+    Tmax = max((len(d) for d in docs), default=1)
+    T = _bucket(max(Tmax, 16), lo=16)
+    Bb = _bucket(max(B, MIN_LANES), lo=MIN_LANES)
+    buf = np.zeros((Bb, T), dtype=np.uint8)
+    lens = np.zeros(Bb, dtype=np.int32)
+    for i, d in enumerate(docs):
+        buf[i, : len(d)] = d
+        lens[i] = len(d)
+    hay2d = jnp.asarray(buf)
+    lens_dev = jnp.asarray(lens)
+    cap = tables.last_cap
+    while True:
+        pos, st, total = _scan_batch_compact(
+            tables.table,
+            tables.classes,
+            hay2d,
+            lens_dev,
+            tables.match_count,
+            cap,
+            tables.use_classes,
+        )
+        total = int(total)
+        if total <= cap:
+            break
+        cap = _bucket(total, lo=4096)
+    tables.last_cap = max(4096, _bucket(max(total, 1), lo=4096))
+    pos = np.asarray(pos[:total], dtype=np.int64)
+    st = np.asarray(st[:total], dtype=np.int64)
+    # split ascending flat positions into per-document local positions
+    bounds = np.searchsorted(pos, np.arange(1, B + 1) * T)
+    out = []
+    prev = 0
+    for i in range(B):
+        hi = bounds[i]
+        out.append((pos[prev:hi] - i * T, st[prev:hi]))
+        prev = hi
+    return out
 
 
 #: build the stride-2 packed table when it fits in this many bytes.
@@ -147,10 +281,7 @@ def _scan_compact2(packed2, table_classed, classes, hay, n, L, T, halo, cap):
     # interleave (mid, end) flags back to per-byte order
     mask2 = jnp.stack([flags & 1, flags >> 1], axis=-1).reshape(L * T)
     matched = (mask2 > 0) & (idx < n)
-    total = jnp.sum(matched, dtype=jnp.int32)
-    positions = jnp.nonzero(matched, size=cap, fill_value=-1)[0].astype(
-        jnp.int32
-    )
+    positions, total = compact_sparse(matched, cap)
     pos_safe = jnp.maximum(positions, 0)
     pair = pos_safe >> 1
     flat_end = end_states.reshape(-1)

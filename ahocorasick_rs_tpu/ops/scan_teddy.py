@@ -35,6 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..models.automaton import Automaton, PAD_BYTE
 from ..models.prefilter import Prefilter
+from .scan_jax import compact_sparse
 
 #: rows per fire-kernel block (R*128 bytes of haystack per block)
 BLOCK_ROWS = 2048
@@ -130,7 +131,7 @@ def fire_mask(
 
 def _verify_body(table, classes, hay_flat, fire_pos, match_count, n, W,
                  cap2, use_classes):
-    """Walk max_len windows from each fire position; compact match steps.
+    """Walk W-byte windows from each fire position; compact match steps.
 
     hay_flat: int32 haystack (padded); fire_pos: int32 [M] (-1 padded).
     Returns (win_idx[cap2], step[cap2], state[cap2], total).
@@ -151,13 +152,18 @@ def _verify_body(table, classes, hay_flat, fire_pos, match_count, n, W,
     _, out = jax.lax.scan(body, jnp.zeros((M,), jnp.int32), ext.T)
     states = out.T  # [M, W]
     matched = match_count[states] > 0
-    flat = matched.reshape(-1)
-    total = jnp.sum(flat, dtype=jnp.int32)
-    sel = jnp.nonzero(flat, size=cap2, fill_value=-1)[0].astype(jnp.int32)
+    sel, total = compact_sparse(matched.reshape(-1), cap2)
     win = jnp.where(sel >= 0, sel // W, -1)
     step = jnp.where(sel >= 0, sel % W, 0)
     st = states.reshape(-1)[jnp.maximum(sel, 0)]
     return win, step, st, total
+
+
+#: haystack bytes per coarse verification group.  The per-byte fire mask is
+#: OR-reduced over groups of this size before compaction, so the (expensive)
+#: position extraction runs over N/COARSE elements and each verification
+#: window covers COARSE candidate starts at once.
+COARSE = 16
 
 
 @partial(
@@ -166,21 +172,32 @@ def _verify_body(table, classes, hay_flat, fire_pos, match_count, n, W,
 )
 def _fire_verify(tables, table, classes, hay2d, match_count, n, cap, cap2,
                  m, words, W, use_classes):
-    """Fused fire + compact + verify in ONE device dispatch.
+    """Fused fire + coarse compact + verify in ONE device dispatch.
 
     A round trip on this fabric costs ~100ms, so the prefilter pipeline must
-    not bounce fire positions through the host between stages.  Results are
-    only trustworthy when ``ftotal <= cap`` and ``mtotal <= cap2`` — the
-    caller retries with doubled capacities otherwise (overflow-and-rescan
-    protocol, SURVEY.md §7).
+    not bounce fire positions through the host between stages.  Fire
+    positions are compacted at COARSE-byte granularity: per-byte fires are
+    too dense for cheap exact compaction (measured 0.6%/byte on the LONG
+    corpus → jnp.nonzero alone cost 10x the fire kernel), while coarse
+    groups shrink the nonzero input by COARSE and let one verification
+    window cover COARSE candidate starts.  ``W`` is the *window* length
+    (max_len + COARSE - 1); the host keeps only matches whose start falls
+    inside the window's group.
+
+    Results are only trustworthy when ``ftotal <= cap`` and ``mtotal <=
+    cap2`` — the caller retries with doubled capacities otherwise
+    (overflow-and-rescan protocol, SURVEY.md §7).
     """
     mask = fire_mask(tables, hay2d, m, words).reshape(-1)
-    idx = jnp.arange(mask.shape[0], dtype=jnp.int32)
-    fired = (mask != 0) & (idx < n)
+    G = mask.shape[0] // COARSE
+    grp = jnp.max(mask.reshape(G, COARSE), axis=1)
+    gidx = jnp.arange(G, dtype=jnp.int32)
+    fired = (grp != 0) & (gidx * COARSE < n)
     ftotal = jnp.sum(fired, dtype=jnp.int32)
-    fire_pos = jnp.nonzero(fired, size=cap, fill_value=-1)[0].astype(
+    fire_grp = jnp.nonzero(fired, size=cap, fill_value=-1)[0].astype(
         jnp.int32
     )
+    fire_pos = jnp.where(fire_grp >= 0, fire_grp * COARSE, -1)
     hay_flat = hay2d.reshape(-1).astype(jnp.int32)
     win, step, st, mtotal = _verify_body(
         table, classes, hay_flat, fire_pos, match_count, n, W, cap2,
@@ -231,11 +248,11 @@ class TeddyScanner:
         observed fire rate says the dense scan should take over."""
         am = self.am
         n = len(hay)
-        W = am.max_len
+        W = am.max_len + COARSE - 1  # window covers COARSE starts
         if hay2d is None:
             hay2d = self.stage(hay)
         cap, cap2 = self.fire_cap, self.match_cap
-        too_many = max(1 << 16, n // 2)  # fires×W beyond this: dense wins
+        too_many = max(1 << 16, n // 2)  # groups×W beyond this: dense wins
         while True:
             fire_pos, ftotal, win, step, st, mtotal = _fire_verify(
                 self.tables,
@@ -276,8 +293,9 @@ class TeddyScanner:
         step = np.asarray(step[:mtotal], dtype=np.int64)
         st = np.asarray(st[:mtotal], dtype=np.int64)
         fire_np = np.asarray(fire_pos, dtype=np.int64)
-        # Host: CSR-expand candidate states, keep only len == step+1
-        # (match start == window start == fire position).
+        # Host: CSR-expand candidate states, keep only matches whose start
+        # lies inside the window's COARSE group (each true occurrence fires
+        # at its start, so it is kept by exactly one window).
         cnt = am.match_count[st].astype(np.int64)
         tot = int(cnt.sum())
         if tot == 0:
@@ -289,10 +307,13 @@ class TeddyScanner:
         flat_csr = am.match_offsets[st[rep]] + inner
         pids = am.match_pids[flat_csr]
         lens = am.match_lens[flat_csr]
-        keep = lens == (step[rep] + 1)
+        ws = fire_np[win[rep]]  # window (= group) start
+        ends = ws + step[rep] + 1
+        starts = ends - lens
+        keep = (starts >= ws) & (starts < ws + COARSE)
         pids = pids[keep]
-        starts = fire_np[win[rep][keep]]
-        ends = starts + lens[keep]
+        starts = starts[keep]
+        ends = ends[keep]
         order = np.lexsort((pids, starts, ends))
         return (
             pids[order].astype(np.int32),

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.automaton import Automaton, PAD_BYTE
-from ..ops.scan_jax import DeviceTables, _bucket
+from ..ops.scan_jax import DeviceTables, _bucket, compact_sparse
 
 
 def make_mesh(num_devices: int | None = None, axis: str = "data") -> Mesh:
@@ -76,10 +76,7 @@ def _shard_scan_fn(table, classes, flat_u8, match_count, n, *, L, T, halo,
     _, out = jax.lax.scan(body, states, ext[:, halo:].T)
     flat_s = out.T.reshape(-1)
     matched = (match_count[flat_s] > 0) & (idx < n)
-    total = jnp.sum(matched, dtype=jnp.int32)
-    local_pos = jnp.nonzero(matched, size=cap, fill_value=-1)[0].astype(
-        jnp.int32
-    )
+    local_pos, total = compact_sparse(matched, cap)
     states_at = jnp.where(
         local_pos >= 0, flat_s[jnp.maximum(local_pos, 0)], -1
     )

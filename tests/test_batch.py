@@ -1,0 +1,124 @@
+"""Batched many-small-haystack API (TPU extra; no reference counterpart).
+
+The reference's primary benchmark workload is 10k-100k short haystacks
+(/root/reference/benchmarks/test_comparison.py:16-53); the batch API scans
+them in one device dispatch.  The contract under test: batched output is
+exactly the per-haystack loop's output, for every matchkind, both classes,
+and both the dense-batch and prefiltered device paths.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ahocorasick_rs_tpu import (
+    AhoCorasick,
+    BytesAhoCorasick,
+    MatchKind,
+)
+
+DOCS = [
+    "the winter of my discontent",
+    "",
+    "no hits here at all",
+    "disco disco disco",
+    "made glorious summer by this sun of york",
+    "content discontent disc",
+    "x" * 200,
+    "winter winter",
+]
+PATTERNS = ["content", "disco", "disc", "discontent", "winter", "summer"]
+
+
+@pytest.mark.parametrize(
+    "kind",
+    [MatchKind.Standard, MatchKind.LeftmostFirst, MatchKind.LeftmostLongest],
+)
+@pytest.mark.parametrize("backend", ["auto", "device"])
+def test_batch_indexes_equals_loop_str(kind, backend):
+    ac = AhoCorasick(PATTERNS, matchkind=kind, backend=backend)
+    want = [ac.find_matches_as_indexes(d) for d in DOCS]
+    got = ac.find_matches_as_indexes_batch(DOCS)
+    assert got == want
+
+
+def test_batch_overlapping_str():
+    ac = AhoCorasick(PATTERNS, backend="device")
+    want = [ac.find_matches_as_indexes(d, overlapping=True) for d in DOCS]
+    got = ac.find_matches_as_indexes_batch(DOCS, overlapping=True)
+    assert got == want
+
+
+def test_batch_overlapping_rejected_for_leftmost():
+    ac = AhoCorasick(PATTERNS, matchkind=MatchKind.LeftmostFirst)
+    with pytest.raises(ValueError):
+        ac.find_matches_as_indexes_batch(DOCS, overlapping=True)
+
+
+def test_batch_strings_str():
+    ac = AhoCorasick(PATTERNS, backend="device")
+    want = [ac.find_matches_as_strings(d) for d in DOCS]
+    assert ac.find_matches_as_strings_batch(DOCS) == want
+
+
+def test_batch_unicode_codepoint_indexes():
+    docs = ["héllo wörld", "ffi wörld", "plain ascii world", "wörldwörld"]
+    ac = AhoCorasick(["wörld", "world"], backend="device")
+    want = [ac.find_matches_as_indexes(d) for d in docs]
+    assert ac.find_matches_as_indexes_batch(docs) == want
+
+
+def test_batch_bytes_equals_loop():
+    pats = [b"\x00\x01", b"abc", b"c\xffd"]
+    docs = [b"xx\x00\x01yy", b"", b"abcabc", b"c\xffd\x00\x01", b"zzz"]
+    ac = BytesAhoCorasick(pats, backend="device")
+    want = [ac.find_matches_as_indexes(d) for d in docs]
+    assert ac.find_matches_as_indexes_batch(docs) == want
+
+
+def test_batch_type_error():
+    ac = AhoCorasick(PATTERNS)
+    with pytest.raises(TypeError):
+        ac.find_matches_as_indexes_batch(["ok", b"not a str"])
+
+
+def test_batch_teddy_path_matches_dense():
+    """Force the prefiltered batch pipeline and compare with the loop."""
+    rng = np.random.default_rng(7)
+    pats = [
+        "".join(chr(rng.integers(97, 123)) for _ in range(5))
+        for _ in range(40)
+    ]
+    docs = []
+    for i in range(50):
+        body = "".join(chr(rng.integers(97, 123)) for _ in range(70))
+        if i % 3 == 0:
+            p = pats[int(rng.integers(0, len(pats)))]
+            k = int(rng.integers(0, 60))
+            body = body[:k] + p + body[k:]
+        docs.append(body)
+    ac = AhoCorasick(pats, backend="device")
+    ac._teddy_state = "force"
+    got = ac.find_matches_as_indexes_batch(docs)
+    ac2 = AhoCorasick(pats, backend="python")
+    want = [ac2.find_matches_as_indexes(d) for d in docs]
+    assert got == want
+
+
+def test_batch_many_docs_wide_lengths():
+    """Length spread across bucket boundaries; per-doc split correctness."""
+    rng = np.random.default_rng(11)
+    pats = ["needle", "pin", "haystackneedle"]
+    docs = []
+    for i in range(300):
+        n = int(rng.integers(0, 500))
+        body = "".join(chr(rng.integers(97, 123)) for _ in range(n))
+        if i % 5 == 0:
+            body = body + "needle" + body[: max(0, 20 - n)]
+        if i % 7 == 0:
+            body = "pin" + body
+        docs.append(body)
+    ac = AhoCorasick(pats, backend="device")
+    want = [ac.find_matches_as_indexes(d) for d in docs]
+    assert ac.find_matches_as_indexes_batch(docs) == want
