@@ -14,6 +14,10 @@ Execution tiers (picked per call by haystack size, overridable with
 * ``numpy``   — vectorized halo'd lane scan on the host.
 * ``device``  — XLA/TPU lane scan with on-device match compaction
                 (``ops/scan_jax.py``); streams arbitrarily large haystacks.
+* ``sharded`` — data-parallel scan over a ``jax.sharding.Mesh``
+                (``parallel/sharded.py``); selected automatically when a
+                ``mesh=`` is passed and the haystack reaches the device
+                tier, or forced with ``backend="sharded"``.
 
 All tiers produce the identical complete occurrence set; match-kind
 semantics are resolved from it by ``ops.resolve`` (one shared semantics
@@ -22,6 +26,7 @@ engine instead of the reference's per-kind automata).
 
 from __future__ import annotations
 
+import time
 from typing import Iterable, Optional
 
 import numpy as np
@@ -48,6 +53,17 @@ _OVERLAPPING_ERROR = (
 )
 
 
+def _trace(name: str):
+    """``jax.profiler.TraceAnnotation`` span (SURVEY.md §5 tracing plan).
+
+    Spans show up in xprof/perfetto traces captured with
+    ``jax.profiler.trace``; outside a capture they cost ~1us.
+    """
+    from jax.profiler import TraceAnnotation
+
+    return TraceAnnotation(name)
+
+
 class _MatcherBase:
     """Shared construction + scan/resolve pipeline for both matchers."""
 
@@ -57,6 +73,22 @@ class _MatcherBase:
     _device_tables = None
     _teddy = None
     _teddy_state = "auto"  # "auto" | "off" | "force"
+    _mesh = None  # jax.sharding.Mesh for the data-parallel sharded scan
+    _counters = None  # scan observability, created on first scan
+    _last_backend = None  # execution tier chosen by the latest scan
+
+    def _note_scan(self, nbytes: int, seconds: float) -> None:
+        """Accumulate scan-throughput counters (SURVEY.md §5 metrics)."""
+        c = self._counters
+        if c is None:
+            c = self._counters = {
+                "scan_calls": 0,
+                "scan_bytes": 0,
+                "scan_seconds": 0.0,
+            }
+        c["scan_calls"] += 1
+        c["scan_bytes"] += nbytes
+        c["scan_seconds"] += seconds
 
     def _build(
         self,
@@ -104,8 +136,23 @@ class _MatcherBase:
                 backend = "native" if self._native_ok() else (
                     "python" if n <= PY_TIER_MAX else "numpy"
                 )
+            elif self._mesh is not None:
+                backend = "sharded"
             else:
                 backend = "device"
+        if backend == "sharded":
+            if self._implementation is Implementation.NoncontiguousNFA:
+                backend = "numpy" if not self._native_ok() else "native"
+            else:
+                from .parallel import sharded as _sharded
+
+                mesh = self._mesh
+                if mesh is None:
+                    mesh = self._mesh = _sharded.make_mesh()
+                self._last_backend = "sharded"
+                return _sharded.scan_sharded(
+                    am, hay, self._get_device_tables(), mesh
+                )
         if (
             backend == "device"
             and self._implementation is Implementation.NoncontiguousNFA
@@ -113,6 +160,7 @@ class _MatcherBase:
             # Sparse engine has no device kernel yet; its contract is
             # fastest-build/slowest-search, so the host path is honest.
             backend = "numpy" if not self._native_ok() else "native"
+        self._last_backend = backend
         if backend == "native":
             from .models import native as _native
 
@@ -194,6 +242,7 @@ class _MatcherBase:
 
         return (
             self._backend in ("auto", "device")
+            and self._mesh is None  # sharded scan serves meshes instead
             and n >= DEVICE_TIER_MIN
             and jax.default_backend() == "tpu"
         )
@@ -311,27 +360,52 @@ class _MatcherBase:
     ) -> list[tuple[int, int, int]]:
         if overlapping and self._matchkind is not MatchKind.Standard:
             raise ValueError(_OVERLAPPING_ERROR)
-        occ = self._try_teddy(hay)
-        if occ is None:
-            positions, states = self._scan(hay)
-            occ = _resolve.expand_occurrences(
-                self._automaton, positions, states
-            )
+        t0 = time.perf_counter()
+        with _trace("ahocorasick:scan"):
+            occ = self._try_teddy(hay)
+            if occ is not None:
+                self._last_backend = "teddy"
+            else:
+                positions, states = self._scan(hay)
+                occ = _resolve.expand_occurrences(
+                    self._automaton, positions, states
+                )
         pids, starts, ends = occ
-        return _resolve.resolve(
-            pids,
-            starts,
-            ends,
-            kind=self._matchkind.value,
-            overlapping=overlapping,
-        )
+        with _trace("ahocorasick:resolve"):
+            out = _resolve.resolve(
+                pids,
+                starts,
+                ends,
+                kind=self._matchkind.value,
+                overlapping=overlapping,
+            )
+        self._note_scan(len(hay), time.perf_counter() - t0)
+        return out
 
     # -- observability (SURVEY.md §5 metrics plan) ---------------------
     def stats(self) -> dict:
-        """Compile-time statistics: states, table bytes, engine chosen."""
+        """Compile-time + runtime statistics.
+
+        Compile-time: states, table bytes, engine chosen.  Runtime
+        (cumulative over this matcher's scans): ``scan_calls``,
+        ``scan_bytes``, ``scan_seconds``, derived ``scan_bytes_per_second``
+        and the execution tier the latest scan used (``last_backend``).
+        """
         s = self._automaton.stats()
         s["implementation"] = self._implementation.name
         s["matchkind"] = self._matchkind.name
+        c = self._counters or {
+            "scan_calls": 0,
+            "scan_bytes": 0,
+            "scan_seconds": 0.0,
+        }
+        s.update(c)
+        s["scan_bytes_per_second"] = (
+            c["scan_bytes"] / c["scan_seconds"]
+            if c["scan_seconds"] > 0
+            else 0.0
+        )
+        s["last_backend"] = self._last_backend
         return s
 
 
@@ -341,6 +415,11 @@ class AhoCorasick(_MatcherBase):
     Matches the reference class (/root/reference/src/lib.rs:134-272): match
     indexes are in *code points*, not bytes
     (/root/reference/src/lib.rs:74-75).
+
+    TPU extras (keyword-only, working defaults — SURVEY.md §5 config row):
+    ``backend=`` forces an execution tier; ``mesh=`` (a
+    ``jax.sharding.Mesh``) routes device-tier scans through the
+    data-parallel sharded scan across all mesh devices.
     """
 
     def __init__(
@@ -351,6 +430,7 @@ class AhoCorasick(_MatcherBase):
         implementation: Optional[Implementation] = None,
         *,
         backend: str = "auto",
+        mesh=None,
     ) -> None:
         byte_patterns: list[bytes] = []
         originals: list[str] = []
@@ -373,6 +453,7 @@ class AhoCorasick(_MatcherBase):
             originals if store_patterns else None
         )
         self._backend = backend
+        self._mesh = mesh
         self._build(byte_patterns, matchkind, implementation)
 
     def find_matches_as_indexes(
@@ -483,6 +564,7 @@ class BytesAhoCorasick(_MatcherBase):
         implementation: Optional[Implementation] = None,
         *,
         backend: str = "auto",
+        mesh=None,
     ) -> None:
         byte_patterns: list[bytes] = []
         for p in patterns:
@@ -491,6 +573,7 @@ class BytesAhoCorasick(_MatcherBase):
                 raise ValueError("You passed in an empty pattern")
             byte_patterns.append(bp)
         self._backend = backend
+        self._mesh = mesh
         self._build(byte_patterns, matchkind, implementation)
 
     def find_matches_as_indexes(

@@ -129,33 +129,54 @@ def fire_mask(
     )(tables, hay2d)
 
 
-def _verify_body(table, classes, hay_flat, fire_pos, match_count, n, W,
-                 cap2, use_classes):
+#: bit position where the verify table carries the "next state has matches"
+#: flag; states must stay below this (automata that large use the sparse
+#: engine, which never builds a Teddy scanner).
+FLAG_SHIFT = 24
+
+
+def _verify_body(vtable, classes, hay_pad, fire_pos, n, W, cap2,
+                 use_classes):
     """Walk W-byte windows from each fire position; compact match steps.
 
-    hay_flat: int32 haystack (padded); fire_pos: int32 [M] (-1 padded).
-    Returns (win_idx[cap2], step[cap2], state[cap2], total).
+    Two gather-killers versus the naive formulation (each was ~130ms/64MB
+    on this fabric):
+
+    * window bytes come from ONE sliced gather (``vmap(dynamic_slice)``
+      lowers to a gather with ``slice_sizes=(W,)``), not W independent
+      row gathers — ``hay_pad`` carries ``W`` trailing PAD_BYTEs so no
+      slice ever clamps;
+    * ``vtable`` packs ``has_match`` into bit FLAG_SHIFT of every
+      transition (see :class:`TeddyScanner`), so the per-step scan gather
+      yields the match flag for free and no ``match_count[states]`` gather
+      over [M, W] exists at all.
+
+    fire_pos: int32 [M] (-1 padded).  Returns (win_idx[cap2], step[cap2],
+    state[cap2], total).
     """
     M = fire_pos.shape[0]
+    pos_safe = jnp.maximum(fire_pos, 0)
+    ext = jax.vmap(
+        lambda p: jax.lax.dynamic_slice(hay_pad, (p,), (W,))
+    )(pos_safe)
     col = jnp.arange(W, dtype=jnp.int32)[None, :]
-    src = jnp.maximum(fire_pos, 0)[:, None] + col
-    in_range = (src < n) & (fire_pos[:, None] >= 0)
-    src_c = jnp.minimum(src, hay_flat.shape[0] - 1)
-    ext = jnp.where(in_range, hay_flat[src_c], PAD_BYTE)
+    src = pos_safe[:, None] + col
+    invalid = (src >= n) | (fire_pos[:, None] < 0)
+    ext = jnp.where(invalid, PAD_BYTE, ext)
     if use_classes:
         ext = classes[ext]
 
     def body(states, colv):
-        states = table[states, colv]
-        return states, states
+        v = vtable[states, colv]
+        return v & ((1 << FLAG_SHIFT) - 1), v
 
     _, out = jax.lax.scan(body, jnp.zeros((M,), jnp.int32), ext.T)
-    states = out.T  # [M, W]
-    matched = match_count[states] > 0
+    packed = out.T  # [M, W]: next-state | flag<<FLAG_SHIFT
+    matched = packed >= (1 << FLAG_SHIFT)
     sel, total = compact_sparse(matched.reshape(-1), cap2)
     win = jnp.where(sel >= 0, sel // W, -1)
     step = jnp.where(sel >= 0, sel % W, 0)
-    st = states.reshape(-1)[jnp.maximum(sel, 0)]
+    st = packed.reshape(-1)[jnp.maximum(sel, 0)] & ((1 << FLAG_SHIFT) - 1)
     return win, step, st, total
 
 
@@ -170,7 +191,7 @@ COARSE = 16
     jax.jit,
     static_argnames=("cap", "cap2", "m", "words", "W", "use_classes"),
 )
-def _fire_verify(tables, table, classes, hay2d, match_count, n, cap, cap2,
+def _fire_verify(tables, vtable, classes, hay2d, n, cap, cap2,
                  m, words, W, use_classes):
     """Fused fire + coarse compact + verify in ONE device dispatch.
 
@@ -198,10 +219,14 @@ def _fire_verify(tables, table, classes, hay2d, match_count, n, cap, cap2,
         jnp.int32
     )
     fire_pos = jnp.where(fire_grp >= 0, fire_grp * COARSE, -1)
-    hay_flat = hay2d.reshape(-1).astype(jnp.int32)
+    hay_pad = jnp.concatenate(
+        [
+            hay2d.reshape(-1).astype(jnp.int32),
+            jnp.full((W,), PAD_BYTE, jnp.int32),
+        ]
+    )
     win, step, st, mtotal = _verify_body(
-        table, classes, hay_flat, fire_pos, match_count, n, W, cap2,
-        use_classes,
+        vtable, classes, hay_pad, fire_pos, n, W, cap2, use_classes
     )
     return fire_pos, ftotal, win, step, st, mtotal
 
@@ -218,13 +243,23 @@ class TeddyScanner:
 
     def __init__(self, am: Automaton, pf: Prefilter, table, classes,
                  match_count, use_classes: bool):
+        if am.num_states >= (1 << FLAG_SHIFT):
+            # automata this big route to the sparse engine and never get a
+            # prefilter; guard anyway for direct constructions
+            raise ValueError(
+                "prefiltered scan needs state ids < 2**24"
+            )
         self.am = am
         self.m = pf.m
         self.words = pf.words
         self.tables = jnp.asarray(pf.tables)
-        self.table = table
+        # verify table: transition target | has_match(target) << FLAG_SHIFT
+        # — the verification walk reads match flags for free (no separate
+        # match_count gather over [fires, window]).
+        self.vtable = table | (
+            (match_count[table] > 0).astype(jnp.int32) << FLAG_SHIFT
+        )
         self.classes = classes
-        self.match_count = match_count
         self.use_classes = use_classes
         self.fire_cap = 1 << 14
         self.match_cap = 1 << 12
@@ -256,10 +291,9 @@ class TeddyScanner:
         while True:
             fire_pos, ftotal, win, step, st, mtotal = _fire_verify(
                 self.tables,
-                self.table,
+                self.vtable,
                 self.classes,
                 hay2d,
-                self.match_count,
                 jnp.int32(n),
                 cap,
                 cap2,

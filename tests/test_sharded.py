@@ -78,3 +78,81 @@ def test_sharded_empty_and_tiny() -> None:
     _check([b"xy"], b"")
     _check([b"xy"], b"x")
     _check([b"xy"], b"xy")
+
+
+# ---------------------------------------------------------------------------
+# Public-API routing: AhoCorasick(..., mesh=...) / backend="sharded"
+# (SURVEY.md §5 config row: TPU extras as keyword-only args).
+# ---------------------------------------------------------------------------
+
+from ahocorasick_rs_tpu import (  # noqa: E402
+    AhoCorasick,
+    BytesAhoCorasick,
+    MatchKind,
+)
+
+_PATTERNS = ["content", "disco", "disc", "discontent", "winter", "lo wo"]
+
+
+def _corpus(n: int = 30_000) -> str:
+    rng = random.Random(17)
+    parts = []
+    while sum(map(len, parts)) < n:
+        parts.append(
+            rng.choice(
+                [
+                    "the winter of my discontent ",
+                    "hello world ",
+                    "disco disco ",
+                    "filler text with no hits ",
+                ]
+            )
+        )
+    return "".join(parts)
+
+
+@pytest.mark.parametrize(
+    "kind",
+    [MatchKind.Standard, MatchKind.LeftmostFirst, MatchKind.LeftmostLongest],
+)
+def test_public_api_sharded_all_kinds(kind: MatchKind) -> None:
+    hay = _corpus()
+    mesh = make_mesh()
+    ac = AhoCorasick(_PATTERNS, matchkind=kind, backend="sharded", mesh=mesh)
+    ref = AhoCorasick(_PATTERNS, matchkind=kind, backend="python")
+    assert ac.find_matches_as_indexes(hay) == ref.find_matches_as_indexes(hay)
+
+
+def test_public_api_sharded_overlapping() -> None:
+    hay = _corpus()
+    ac = AhoCorasick(_PATTERNS, backend="sharded", mesh=make_mesh())
+    ref = AhoCorasick(_PATTERNS, backend="python")
+    assert ac.find_matches_as_indexes(
+        hay, overlapping=True
+    ) == ref.find_matches_as_indexes(hay, overlapping=True)
+
+
+def test_public_api_sharded_defaults_mesh() -> None:
+    """backend="sharded" without a mesh builds one over all devices."""
+    hay = _corpus(5_000)
+    ac = AhoCorasick(_PATTERNS, backend="sharded")
+    ref = AhoCorasick(_PATTERNS, backend="python")
+    assert ac.find_matches_as_indexes(hay) == ref.find_matches_as_indexes(hay)
+    assert ac._mesh is not None and ac._mesh.devices.size == 8
+
+
+def test_public_api_sharded_bytes() -> None:
+    hay = _corpus().encode()
+    pats = [p.encode() for p in _PATTERNS]
+    ac = BytesAhoCorasick(pats, backend="sharded", mesh=make_mesh())
+    ref = BytesAhoCorasick(pats, backend="python")
+    assert ac.find_matches_as_indexes(hay) == ref.find_matches_as_indexes(hay)
+
+
+def test_public_api_mesh_auto_routes_small_to_host() -> None:
+    """mesh= with a tiny haystack stays on the low-latency host tiers."""
+    ac = AhoCorasick(_PATTERNS, mesh=make_mesh())
+    assert ac.find_matches_as_indexes("the winter of my discontent") == [
+        (4, 4, 10),
+        (2, 17, 21),
+    ]
