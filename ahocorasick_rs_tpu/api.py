@@ -155,10 +155,13 @@ class _MatcherBase:
                 )
         if (
             backend == "device"
+            and self._backend == "auto"
             and self._implementation is Implementation.NoncontiguousNFA
         ):
-            # Sparse engine has no device kernel yet; its contract is
-            # fastest-build/slowest-search, so the host path is honest.
+            # Auto-routed sparse scans stay on the host: the sparse device
+            # kernel (binary-search + fail walk) honors the engine's
+            # smallest-memory contract but is gather-bound; explicit
+            # backend="device" reaches it.
             backend = "numpy" if not self._native_ok() else "native"
         self._last_backend = backend
         if backend == "native":
@@ -264,11 +267,11 @@ class _MatcherBase:
         from .ops import scan_jax
 
         if self._device_tables is None:
-            engine = (
-                "dfa"
-                if self._implementation is Implementation.DFA
-                else "classed"
-            )
+            engine = {
+                Implementation.DFA: "dfa",
+                Implementation.ContiguousNFA: "classed",
+                Implementation.NoncontiguousNFA: "sparse",
+            }[self._implementation]
             self._device_tables = scan_jax.DeviceTables(
                 self._automaton, engine
             )

@@ -38,21 +38,58 @@ class Implementation(enum.Enum):
     DFA = "dfa"
 
 
-#: HBM/host budget for an auto-selected dense table.
-_AUTO_DENSE_BUDGET = 64 << 20
-#: budget for an auto-selected byte-classed table.
-_AUTO_CLASSED_BUDGET = 256 << 20
+#: fallback budgets when no device memory stats are available (e.g. the
+#: virtual CPU test mesh): dense table / byte-classed table byte caps.
+_FALLBACK_DENSE_BUDGET = 64 << 20
+_FALLBACK_CLASSED_BUDGET = 256 << 20
+
+_cached_budgets: tuple[int, int] | None = None
+
+
+def auto_budgets() -> tuple[int, int]:
+    """(dense, classed) byte budgets derived from the device's memory.
+
+    The dense table is the fastest layout but the scan also needs HBM for
+    lane buffers, the stride-2 packed table and compaction scratch, so the
+    dense budget is 1/16 of device memory and the classed budget 1/4.
+    Falls back to fixed budgets when the backend reports no memory stats.
+    """
+    global _cached_budgets
+    if _cached_budgets is None:
+        limit = 0
+        try:
+            import jax
+
+            stats = jax.devices()[0].memory_stats()
+            if stats:
+                limit = int(
+                    stats.get("bytes_limit")
+                    or stats.get("bytes_reservable_limit")
+                    or 0
+                )
+        except Exception:
+            limit = 0
+        if limit > 0:
+            _cached_budgets = (limit // 16, limit // 4)
+        else:
+            _cached_budgets = (
+                _FALLBACK_DENSE_BUDGET,
+                _FALLBACK_CLASSED_BUDGET,
+            )
+    return _cached_budgets
 
 
 def select_engine(am: Automaton) -> Implementation:
     """Pick a table layout balancing build time, memory and scan speed.
 
     The reference delegates this to the crate's heuristic; ours is sized to
-    TPU memory: dense if it comfortably fits, byte-classed next, sparse CSR
-    for pattern sets whose tables would blow the budget.
+    the attached device's memory (``auto_budgets``): dense if it comfortably
+    fits, byte-classed next, sparse CSR for pattern sets whose tables would
+    blow the budget.
     """
-    if am.num_states * 257 * 4 <= _AUTO_DENSE_BUDGET:
+    dense_budget, classed_budget = auto_budgets()
+    if am.num_states * 257 * 4 <= dense_budget:
         return Implementation.DFA
-    if am.num_states * am.num_classes * 4 <= _AUTO_CLASSED_BUDGET:
+    if am.num_states * am.num_classes * 4 <= classed_budget:
         return Implementation.ContiguousNFA
     return Implementation.NoncontiguousNFA

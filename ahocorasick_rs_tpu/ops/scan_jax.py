@@ -296,20 +296,94 @@ def _scan_compact2(packed2, table_classed, classes, hay, n, L, T, halo, cap):
     return positions, states_at, total
 
 
+@partial(jax.jit, static_argnames=("L", "T", "halo", "cap"))
+def _scan_compact_sparse(keys, targets, fail, match_count, hay, n, L, T,
+                         halo, cap):
+    """Sparse-CSR lane scan: binary-search goto + vectorized failure walk.
+
+    The NoncontiguousNFA engine's device path (reference contract:
+    fastest build / smallest memory / slowest search,
+    /root/reference/README.md:173-177).  Per step every lane resolves its
+    transition by ``searchsorted`` over the sorted edge keys
+    (``state * 257 + byte``); unresolved lanes walk their failure links
+    inside a ``lax.while_loop`` whose trip count is bounded by the trie
+    depth.  O(log E) gathers per lane-step — an order of magnitude slower
+    than the dense gather scan, but it serves automata whose dense/classed
+    tables exceed the device budget (BASELINE config 5: ~1M patterns).
+    """
+    E = keys.shape[0]
+    flat = hay.astype(jnp.int32)
+    ext = build_lanes(flat, L, T, halo, n)
+
+    def resolve(states, col):
+        col64 = col.astype(jnp.int64)
+
+        def cond(carry):
+            _, done, _ = carry
+            return ~jnp.all(done)
+
+        def body(carry):
+            st, done, res = carry
+            key = st.astype(jnp.int64) * 257 + col64
+            j = jnp.searchsorted(keys, key)
+            j_c = jnp.minimum(j, max(E - 1, 0))
+            found = (j < E) & (keys[j_c] == key) if E else jnp.zeros_like(
+                done
+            )
+            res = jnp.where(~done & found, targets[j_c], res)
+            at_root_miss = ~done & ~found & (st == 0)
+            res = jnp.where(at_root_miss, 0, res)
+            done2 = done | found | at_root_miss
+            st = jnp.where(done2, st, fail[st])
+            return st, done2, res
+
+        init = (
+            states,
+            jnp.zeros(states.shape, dtype=bool),
+            jnp.zeros_like(states),
+        )
+        _, _, res = jax.lax.while_loop(cond, body, init)
+        return res, res
+
+    init = jnp.zeros((L,), jnp.int32)
+    if halo:
+        states, _ = jax.lax.scan(resolve, init, ext[:, :halo].T)
+    else:
+        states = init
+    _, out = jax.lax.scan(resolve, states, ext[:, halo:].T)
+    flat_s = out.T.reshape(-1)
+    idx = jnp.arange(L * T, dtype=jnp.int32)
+    matched = (match_count[flat_s] > 0) & (idx < n)
+    positions, total = compact_sparse(matched, cap)
+    states_at = jnp.where(
+        positions >= 0, flat_s[jnp.maximum(positions, 0)], -1
+    )
+    return positions, states_at, total
+
+
 class DeviceTables:
     """Per-automaton cache of device-resident tables + scan state."""
 
     def __init__(self, am: Automaton, engine: str,
                  packed2_max_bytes: int = PACKED2_MAX_BYTES):
         self.engine = engine
+        self.keys = self.targets = self.fail = None
         if engine == "dfa":
             self.table = jnp.asarray(am.delta)
             self.classes = jnp.zeros((257,), jnp.int32)  # unused placeholder
             self.use_classes = False
-        else:  # byte-classed (ContiguousNFA analogue)
+        elif engine == "classed":  # byte-classed (ContiguousNFA analogue)
             self.table = jnp.asarray(am.delta_classed)
             self.classes = jnp.asarray(am.byte_classes)
             self.use_classes = True
+        else:  # sparse CSR (NoncontiguousNFA analogue)
+            keys, targets, fail = am.sparse
+            self.keys = jnp.asarray(keys)
+            self.targets = jnp.asarray(targets)
+            self.fail = jnp.asarray(fail)
+            self.table = None
+            self.classes = jnp.zeros((257,), jnp.int32)
+            self.use_classes = False
         self.match_count = jnp.asarray(am.match_count)
         self._am = am
         # stride-2 tables (used by either engine when they fit: the packed
@@ -328,7 +402,9 @@ class DeviceTables:
             else min(packed2_max_bytes, 64 << 20)
         )
         self._packed2_ok = (
-            am.num_states < (1 << 29) and am.packed2_bytes <= budget
+            engine != "sparse"
+            and am.num_states < (1 << 29)
+            and am.packed2_bytes <= budget
         )
         #: adaptive initial compaction capacity (sticky across calls)
         self.last_cap = 4096
@@ -397,7 +473,20 @@ def scan_device(
         hay_dev = jnp.asarray(buf)
         cap = tables.last_cap
         while True:
-            if stride2:
+            if tables.engine == "sparse":
+                pos, st, total = _scan_compact_sparse(
+                    tables.keys,
+                    tables.targets,
+                    tables.fail,
+                    tables.match_count,
+                    hay_dev,
+                    jnp.int32(m),
+                    L,
+                    T,
+                    halo,
+                    cap,
+                )
+            elif stride2:
                 pos, st, total = _scan_compact2(
                     tables.packed2,
                     tables.table_classed,
