@@ -1,20 +1,28 @@
 """Benchmark: haystack GB/s/chip for the device scan paths on the TPU.
 
-Mirrors the reference's LONG benchmark recipe
-(/root/reference/benchmarks/test_comparison.py:16-34: ~1k lowercase name
-patterns, long haystacks, ~1-in-90 lines containing a name) with a
-synthetically generated corpus.
+Two sections, one JSON line:
+
+* **Streaming north star** — mirrors the reference's LONG recipe
+  (/root/reference/benchmarks/test_comparison.py:16-34: ~1k lowercase name
+  patterns, ~1-in-90 lines of ~600 chars containing a name) as one large
+  corpus.  ``value`` is the best device scan-path throughput over
+  device-resident data (BASELINE.json north star: haystack GB/s/chip);
+  ``vs_baseline`` compares against the native single-core C++ DFA scan of
+  the same automaton over the same corpus (the closest available
+  equivalent of the reference's Rust hot loop on this machine).
+* **Scenario parity** — the reference's five benchmark scenarios
+  (standard-as-strings, standard-as-indexes, overlapping,
+  leftmost-longest, pure-Python loop control;
+  /root/reference/benchmarks/test_comparison.py:100-166) over SHORT
+  (10 patterns x 10k ~70-char haystacks) and LONG (1k patterns x 20k
+  ~600-char haystacks) datasets, each timed as a full pass **end to end**
+  (host strings in, host tuples out — includes every transfer) for both
+  the per-haystack loop and the single-dispatch batch API.
 
 Measurement methodology (hard-won on this rig): only timings that end in a
 host fetch of a value derived from the computation are real — this tunnel's
-``block_until_ready`` returns early.  Each timed call fetches the result.
-
-* ``value`` — best device scan-path throughput (prefiltered Teddy pipeline
-  or plain gather scan) over **device-resident** data: the north-star
-  "haystack GB/s/chip" of BASELINE.json.
-* ``vs_baseline`` — speedup over the native single-core C++ DFA scan of the
-  same automaton over the same corpus (the closest available equivalent of
-  the reference's Rust hot loop on this machine's CPU).
+``block_until_ready`` returns early.  Every timed path here returns host
+values.
 
 Prints exactly one JSON line.
 """
@@ -28,7 +36,7 @@ import traceback
 
 import numpy as np
 
-HAYSTACK_MB = 16
+HAYSTACK_MB = 64
 PATTERNS = 1000
 REPS = 3
 
@@ -73,6 +81,101 @@ def _time_best(fn, reps: int = REPS) -> float:
     return best
 
 
+def make_datasets(rng: np.random.Generator):
+    """SHORT and LONG datasets in the reference benchmark's shape."""
+    short_patterns = [
+        "abc", "hello", "world", "aardvark", "fish",
+        "what", "arbitrarymonkey", "birds", "host7", "host76",
+    ]
+    short_hay = [
+        f"arbitrarymonkey says hello to fish host76, 0.123 my friend, "
+        f"but why??? {i}"
+        for i in range(10_000)
+    ]
+    long_names = [n.decode() for n in synth_names(PATTERNS, rng)]
+    filler = (
+        "no one who had ever seen {} in her infancy would have supposed "
+        "her born to be an heroine; her situation in life, the character "
+        "of her father and mother, her own person and disposition were "
+        "all equally against her, and the rest of this line is ordinary "
+        "prose of roughly six hundred characters so the haystack length "
+        "matches the reference recipe with room to spare for the counter "
+        "value {} at the end, padded with plain words that never match "
+        "any generated name pattern because they are common english and "
+        "the names are uniform random lowercase strings of length five "
+        "to eleven which almost surely do not occur in this text"
+    )
+    long_hay = []
+    for i in range(20_000):
+        name = long_names[i % len(long_names)] if i % 90 == 0 else "nobody"
+        long_hay.append(filler.format(name, i))
+    return {
+        "short": (short_patterns, short_hay),
+        "long": (long_names, long_hay),
+    }
+
+
+def bench_scenarios(detail: dict) -> None:
+    """Reference scenario parity, end-to-end timings (incl. transfers)."""
+    from ahocorasick_rs_tpu import AhoCorasick, MatchKind
+
+    rng = np.random.default_rng(7)
+    out: dict = {}
+    for ds_name, (patterns, haystacks) in make_datasets(rng).items():
+        total_mb = sum(len(h) for h in haystacks) / 1e6
+        ac = AhoCorasick(patterns)
+        ll = AhoCorasick(patterns, matchkind=MatchKind.LeftmostLongest)
+        n_matches = sum(len(m) for m in ac.find_matches_as_indexes_batch(
+            haystacks
+        ))
+        scen: dict = {
+            "haystacks": len(haystacks),
+            "total_mb": round(total_mb, 2),
+            "matches": n_matches,
+        }
+
+        def put(key, seconds):
+            scen[key] = {
+                "seconds": round(seconds, 4),
+                "mb_per_s": round(total_mb / seconds, 2),
+            }
+
+        put("standard_strings_loop", _time_best(
+            lambda: [ac.find_matches_as_strings(h) for h in haystacks],
+            reps=2,
+        ))
+        put("standard_indexes_loop", _time_best(
+            lambda: [ac.find_matches_as_indexes(h) for h in haystacks],
+            reps=2,
+        ))
+        ac.find_matches_as_strings_batch(haystacks)  # warm/compile
+        put("standard_strings_batch", _time_best(
+            lambda: ac.find_matches_as_strings_batch(haystacks), reps=2
+        ))
+        put("standard_indexes_batch", _time_best(
+            lambda: ac.find_matches_as_indexes_batch(haystacks), reps=2
+        ))
+        put("overlapping_strings_batch", _time_best(
+            lambda: ac.find_matches_as_strings_batch(
+                haystacks, overlapping=True
+            ),
+            reps=2,
+        ))
+        ll.find_matches_as_strings_batch(haystacks)
+        put("leftmost_longest_strings_batch", _time_best(
+            lambda: ll.find_matches_as_strings_batch(haystacks), reps=2
+        ))
+
+        def control():
+            for h in haystacks:
+                _ = h
+
+        put("python_loop_control", _time_best(control, reps=2))
+        scen["batch_backend"] = ac.stats()["last_backend"]
+        out[ds_name] = scen
+    detail["scenarios"] = out
+
+
 def main() -> None:
     rng = np.random.default_rng(1234)
     names = synth_names(PATTERNS, rng)
@@ -87,6 +190,7 @@ def main() -> None:
         "haystack_mb": HAYSTACK_MB,
         "patterns": len(names),
         "states": am.num_states,
+        "paths_run": [],
     }
 
     # --- host-native baseline (reference-equivalent CPU hot loop) ---
@@ -101,6 +205,7 @@ def main() -> None:
         )
         baseline_gbps = n / t / 1e9
         detail["cpu_native_gbps"] = round(baseline_gbps, 4)
+        detail["paths_run"].append("cpu_native")
 
     plain_gbps = teddy_gbps = None
     matches = None
@@ -131,6 +236,7 @@ def main() -> None:
         plain_gbps = n / t / 1e9
         detail["tpu_plain_scan_gbps"] = round(plain_gbps, 4)
         detail["matches"] = matches
+        detail["paths_run"].append("tpu_plain")
 
         stride2_gbps = None
         if tables.ensure_packed2():
@@ -147,7 +253,10 @@ def main() -> None:
             t = _time_best(lambda: stride2_once(1))
             stride2_gbps = n / t / 1e9
             detail["tpu_stride2_scan_gbps"] = round(stride2_gbps, 4)
+            detail["paths_run"].append("tpu_stride2")
             plain_gbps = max(plain_gbps, stride2_gbps)
+        else:
+            detail["tpu_stride2_scan_gbps"] = "skipped (packed2 over budget)"
 
         pf = build_prefilter(names)
         detail["prefilter"] = {
@@ -169,10 +278,25 @@ def main() -> None:
             t = _time_best(lambda: scanner.occurrences(hay, hay2d=hay2d))
             teddy_gbps = n / t / 1e9
             detail["tpu_teddy_gbps"] = round(teddy_gbps, 4)
+            detail["paths_run"].append("tpu_teddy")
+
+            def teddy_e2e():
+                h2 = scanner.stage(hay)
+                return scanner.occurrences(hay, hay2d=h2)
+
+            t = _time_best(teddy_e2e, reps=2)
+            detail["tpu_teddy_end_to_end_gbps"] = round(n / t / 1e9, 4)
         else:
             detail["tpu_teddy_gbps"] = "fallback (fire rate too high)"
     except Exception:
         detail["tpu_error"] = traceback.format_exc(limit=1).splitlines()[-1]
+
+    try:
+        bench_scenarios(detail)
+    except Exception:
+        detail["scenario_error"] = (
+            traceback.format_exc(limit=1).splitlines()[-1]
+        )
 
     candidates = [g for g in (plain_gbps, teddy_gbps) if g is not None]
     if candidates:
