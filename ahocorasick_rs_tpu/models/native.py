@@ -4,6 +4,15 @@ Compiles the shared library on first use (cached beside the source) and
 exposes :func:`build_automaton_native`, producing byte-identical tables to
 the pure-Python builder — asserted by ``tests/test_native_builder.py``.
 Falls back gracefully (``available() -> False``) if no compiler is present.
+
+GIL story (reference parity: /root/reference/src/lib.rs:194-199,238 releases
+the GIL in 10k-pattern chunks during build and during match collection):
+every ``ctypes`` foreign call here releases the GIL for its entire duration,
+so large builds (``ac_build``) and native scans (``ac_scan_*``) run with the
+GIL dropped — other Python threads keep running, and concurrent scans of a
+shared matcher are safe because the exported tables are immutable after
+construction (``tests/test_threading.py``).  JAX device dispatches likewise
+release the GIL while the device computes.
 """
 
 from __future__ import annotations
