@@ -137,6 +137,53 @@ def test_unicode_codepoint_indexes_vs_oracle(kind, patterns, hay):
     assert ac.find_matches_as_indexes(hay) == oracle(patterns, hay, kind)
 
 
+from ahocorasick_rs_tpu import Implementation  # noqa: E402
+
+
+@pytest.mark.parametrize(
+    "impl",
+    [
+        Implementation.DFA,
+        Implementation.ContiguousNFA,
+        Implementation.NoncontiguousNFA,
+    ],
+)
+@pytest.mark.parametrize("kind", KINDS)
+@given(patterns=patterns_strategy, hay=hay_strategy)
+@settings(max_examples=40)
+def test_forced_implementations_vs_oracle(impl, kind, patterns, hay):
+    """SURVEY §4 gap: implementation= forcing on the property paths."""
+    ac = AhoCorasick(patterns, matchkind=kind, implementation=impl)
+    assert ac.find_matches_as_indexes(hay) == oracle(patterns, hay, kind)
+
+
+@given(
+    patterns=st.lists(
+        st.text(alphabet="aé€b", min_size=1, max_size=4),
+        min_size=1,
+        max_size=6,
+    ),
+    hay=st.text(alphabet="aé€bc", max_size=50),
+)
+@settings(max_examples=80)
+def test_bytes_vs_str_index_units(patterns, hay):
+    """SURVEY §4 gap: same data through both classes — BytesAhoCorasick
+    returns byte offsets, AhoCorasick code-point offsets, same matches."""
+    ac = AhoCorasick(patterns)
+    bc = BytesAhoCorasick([p.encode() for p in patterns])
+    data = hay.encode()
+    str_m = ac.find_matches_as_indexes(hay, overlapping=True)
+    byte_m = bc.find_matches_as_indexes(data, overlapping=True)
+    assert len(str_m) == len(byte_m)
+    for (p1, s1, e1), (p2, s2, e2) in zip(str_m, byte_m):
+        assert p1 == p2
+        # byte span decodes to exactly the code-point span
+        assert data[s2:e2].decode() == hay[s1:e1]
+        # code-point index == count of codepoints before the byte offset
+        assert len(data[:s2].decode()) == s1
+        assert len(data[:e2].decode()) == e1
+
+
 @pytest.mark.parametrize("kind", KINDS)
 def test_duplicate_patterns(kind):
     """Duplicate patterns: the first-listed pattern id wins ties."""
