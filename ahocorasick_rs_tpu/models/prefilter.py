@@ -44,33 +44,50 @@ MAX_WORDS = 8
 @dataclass
 class Prefilter:
     m: int
+    #: mask planes per pass (32 buckets each)
     words: int
-    #: int32 [2*m*words, 128]; row (2k + lohi) * words + w holds, for
-    #: fingerprint position k, the low (lohi=0) / high (lohi=1) nibble
-    #: table of mask plane w.  Only lanes 0..15 are meaningful.
+    #: independent bucket assignments AND-combined per position.  A single
+    #: nibble filter saturates around 0.5%/byte on large pattern sets;
+    #: since windowed verification is the expensive stage on TPU (gathers),
+    #: a second *independently bucketed* filter multiplies false-fire
+    #: rates (~r^2) for one more cheap VPU pass — the fire kernel ANDs the
+    #: per-pass hits.  True matches pass every filter (soundness per pass).
+    passes: int
+    #: int32 [passes*2*m*words, 128]; row ((p*m + k)*2 + lohi)*words + w
+    #: holds, for pass p and fingerprint position k, the low (lohi=0) /
+    #: high (lohi=1) nibble table of mask plane w.  Lanes 0..15 meaningful.
     tables: np.ndarray
-    bucket_of: np.ndarray  # int32 [P]
+    bucket_of: np.ndarray  # int32 [passes, P]
     est_fire_rate: float
 
     def byte_allowed(self) -> np.ndarray:
-        """bool [m, 256, buckets]: is byte allowed for (position, bucket)?"""
-        t = self.tables.view(np.uint32).reshape(self.m, 2, self.words, 128)
+        """bool [passes, m, 256, buckets]: byte allowed per (pass,
+        position, bucket)?"""
+        t = self.tables.view(np.uint32).reshape(
+            self.passes, self.m, 2, self.words, 128
+        )
         bytes_ = np.arange(256)
         B = 32 * self.words
-        out = np.zeros((self.m, 256, B), dtype=bool)
-        for k in range(self.m):
-            for w in range(self.words):
-                mask = (
-                    t[k, 0, w, bytes_ & 15] & t[k, 1, w, bytes_ >> 4]
-                )
-                out[k, :, 32 * w : 32 * (w + 1)] = (
-                    (mask[:, None] >> np.arange(32)) & 1
-                ).astype(bool)
+        out = np.zeros((self.passes, self.m, 256, B), dtype=bool)
+        for p in range(self.passes):
+            for k in range(self.m):
+                for w in range(self.words):
+                    mask = (
+                        t[p, k, 0, w, bytes_ & 15]
+                        & t[p, k, 1, w, bytes_ >> 4]
+                    )
+                    out[p, k, :, 32 * w : 32 * (w + 1)] = (
+                        (mask[:, None] >> np.arange(32)) & 1
+                    ).astype(bool)
         return out
 
 
 def _assign_buckets(
-    patterns: Sequence[bytes], m: int, B: int, byte_freq: np.ndarray
+    patterns: Sequence[bytes],
+    m: int,
+    B: int,
+    byte_freq: np.ndarray,
+    order: Optional[list[int]] = None,
 ) -> np.ndarray:
     """Greedy min-coverage-increase clustering of patterns into buckets.
 
@@ -81,10 +98,11 @@ def _assign_buckets(
     saturates positions ≥ 2 and fires on most of the corpus.
     """
     P = len(patterns)
-    if P > 20000:
-        # greedy is O(P*B*m); past this size fall back to sorted-prefix
-        # chunking (the runtime fire-rate check protects correctness/perf)
+    if order is None:
         order = sorted(range(P), key=lambda i: patterns[i][:m])
+    if P > 20000:
+        # greedy is O(P*B*m); past this size fall back to chunking the
+        # visit order (the runtime fire-rate check protects perf)
         bucket_of = np.zeros(P, dtype=np.int32)
         per_bucket = -(-P // B)
         for rank, pid in enumerate(order):
@@ -102,9 +120,8 @@ def _assign_buckets(
     sizes = np.zeros(B, dtype=np.int64)
     cap = max(4, (4 * P) // B)
     bucket_of = np.zeros(P, dtype=np.int32)
-    # visit in sorted-prefix order so similar patterns are adjacent and the
+    # the caller's visit order puts similar patterns adjacent so the
     # greedy sees them consecutively
-    order = sorted(range(P), key=lambda i: patterns[i][:m])
     for pid in order:
         p = patterns[pid]
         # candidate masses per bucket if p joins  [B, m]
@@ -143,44 +160,76 @@ def _assign_buckets(
     return bucket_of
 
 
+def _pass_orders(
+    patterns: Sequence[bytes], m: int, passes: int
+) -> list[list[int]]:
+    """Greedy visit orders per pass — decorrelated so the two bucketings
+    are (nearly) independent: pass 0 clusters by prefix, pass 1 by the
+    reversed byte string (suffix-similar patterns co-bucket instead)."""
+    P = len(patterns)
+    orders = [sorted(range(P), key=lambda i: patterns[i][:m])]
+    if passes > 1:
+        orders.append(sorted(range(P), key=lambda i: patterns[i][::-1]))
+    return orders[:passes]
+
+
 def _build_for(
-    patterns: Sequence[bytes], m: int, words: int, byte_freq: np.ndarray
+    patterns: Sequence[bytes],
+    m: int,
+    words: int,
+    byte_freq: np.ndarray,
+    passes: int = 1,
 ) -> Prefilter:
     P = len(patterns)
     B = 32 * words
-    bucket_of = _assign_buckets(patterns, m, B, byte_freq)
+    orders = _pass_orders(patterns, m, passes)
+    bucket_of = np.stack(
+        [
+            _assign_buckets(patterns, m, B, byte_freq, order)
+            for order in orders
+        ]
+    )
 
-    tables = np.zeros((m, 2, words, 128), dtype=np.uint32)
-    for pid, p in enumerate(patterns):
-        b = int(bucket_of[pid])
-        w, bit = b // 32, np.uint32(1) << np.uint32(b % 32)
-        for k in range(m):
-            if k < len(p):
-                tables[k, 0, w, p[k] & 15] |= bit
-                tables[k, 1, w, p[k] >> 4] |= bit
-            else:
-                tables[k, 0, w, 0:16] |= bit
-                tables[k, 1, w, 0:16] |= bit
+    tables = np.zeros((passes, m, 2, words, 128), dtype=np.uint32)
+    for ps in range(passes):
+        for pid, p in enumerate(patterns):
+            b = int(bucket_of[ps, pid])
+            w, bit = b // 32, np.uint32(1) << np.uint32(b % 32)
+            for k in range(m):
+                if k < len(p):
+                    tables[ps, k, 0, w, p[k] & 15] |= bit
+                    tables[ps, k, 1, w, p[k] >> 4] |= bit
+                else:
+                    tables[ps, k, 0, w, 0:16] |= bit
+                    tables[ps, k, 1, w, 0:16] |= bit
 
     pf = Prefilter(
         m=m,
         words=words,
-        tables=tables.reshape(2 * m * words, 128).view(np.int32),
+        passes=passes,
+        tables=tables.reshape(passes * 2 * m * words, 128).view(np.int32),
         bucket_of=bucket_of,
         est_fire_rate=0.0,
     )
     # Selectivity estimate under the byte distribution implied by the
     # patterns themselves (a decent stand-in for the corpus a user scans
-    # with these patterns): P(fire) ≈ 1 - Π_β (1 - Π_k Σ_{allowed} freq).
-    allowed = pf.byte_allowed()  # [m, 256, B]
-    frac = np.einsum("kbc,b->kc", allowed.astype(np.float64), byte_freq)
-    per_bucket_rate = frac.prod(axis=0)
-    pf.est_fire_rate = float(1.0 - np.prod(1.0 - per_bucket_rate))
+    # with these patterns): per pass, P(fire) ≈ 1 - Π_β (1 - Π_k Σ freq);
+    # passes are built from decorrelated bucketings, so the combined rate
+    # is modeled as the product of per-pass rates.
+    allowed = pf.byte_allowed()  # [passes, m, 256, B]
+    rate = 1.0
+    for ps in range(passes):
+        frac = np.einsum(
+            "kbc,b->kc", allowed[ps].astype(np.float64), byte_freq
+        )
+        per_bucket_rate = frac.prod(axis=0)
+        rate *= float(1.0 - np.prod(1.0 - per_bucket_rate))
+    pf.est_fire_rate = rate
     return pf
 
 
 def build_prefilter(
-    patterns: Sequence[bytes], target_rate: float = 0.003
+    patterns: Sequence[bytes], target_rate: float = 0.0003
 ) -> Optional[Prefilter]:
     """Compile nibble tables, growing fingerprint/planes until selective.
 
@@ -197,6 +246,10 @@ def build_prefilter(
     words = 1
     while words < MAX_WORDS and P > 8 * 32 * words:
         words *= 2
+    # the second, independently-bucketed pass squares the false-fire rate
+    # for one more cheap VPU pass; only worth the table/VPU cost once a
+    # single pass starts saturating (large pattern sets)
+    passes = 2 if P > 64 else 1
     counts = np.bincount(
         np.frombuffer(b"".join(patterns), dtype=np.uint8), minlength=256
     ).astype(np.float64)
@@ -204,7 +257,7 @@ def build_prefilter(
     best: Optional[Prefilter] = None
     prev_rate: Optional[float] = None
     for m in range(MIN_FINGERPRINT, MAX_FINGERPRINT + 1):
-        pf = _build_for(patterns, m, words, byte_freq)
+        pf = _build_for(patterns, m, words, byte_freq, passes)
         if best is None or pf.est_fire_rate < best.est_fire_rate:
             best = pf
         if best.est_fire_rate <= target_rate:

@@ -155,7 +155,7 @@ def main():
 
     @partial(jax.jit, static_argnames=("m", "words"))
     def f_fire_total(tabs, h2, m, words):
-        mask = scan_teddy.fire_mask(tabs, h2, m, words)
+        mask = scan_teddy.fire_mask(tabs, h2, m, words, pf.passes)
         return jnp.sum(mask, dtype=jnp.int32)
 
     g2 = lambda: int(f_fire_total(tabs, hay2d, pf.m, pf.words))

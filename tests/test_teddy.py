@@ -125,10 +125,11 @@ def test_prefilter_soundness_exhaustive() -> None:
         for _ in range(100)
     ]
     pf = build_prefilter(patterns)
-    allowed = pf.byte_allowed()  # [m, 256, 32]
-    for pid, p in enumerate(patterns):
-        b = pf.bucket_of[pid]
-        for k in range(min(pf.m, len(p))):
-            assert allowed[k, p[k], b], (pid, k)
-        for k in range(len(p), pf.m):
-            assert allowed[k, :, b].all()
+    allowed = pf.byte_allowed()  # [passes, m, 256, B]
+    for ps in range(pf.passes):
+        for pid, p in enumerate(patterns):
+            b = pf.bucket_of[ps, pid]
+            for k in range(min(pf.m, len(p))):
+                assert allowed[ps, k, p[k], b], (ps, pid, k)
+            for k in range(len(p), pf.m):
+                assert allowed[ps, k, :, b].all()
