@@ -385,6 +385,75 @@ class _MatcherBase:
         self._note_scan(len(hay), time.perf_counter() - t0)
         return out
 
+    # -- measured-time prefilter tuning --------------------------------
+    def tune(self, sample) -> dict:
+        """Pick the fastest prefilter configuration by measured wall time.
+
+        TPU extra: times each candidate (plane-count / pass-count
+        variants) end-to-end on ``sample`` — a representative haystack of
+        the caller's real workload — and keeps the winner for subsequent
+        scans.  Estimate models mispredict observed fire rates ~3x, so
+        measurement is the only reliable objective; each candidate costs
+        one compile of the fused fire+verify kernel (one-off per process).
+        Returns a report: per-candidate seconds and the chosen config.
+        """
+        from .models.prefilter import build_prefilter_candidates
+        from .ops.scan_teddy import TeddyScanner
+
+        if isinstance(sample, str):
+            hay = np.frombuffer(sample.encode("utf-8"), dtype=np.uint8)
+        else:
+            from .utils.buffers import as_byte_view
+
+            hay = as_byte_view(sample)
+        report: dict = {"candidates": [], "chosen": None}
+        if self._implementation is Implementation.NoncontiguousNFA:
+            report["chosen"] = "none (sparse engine has no prefilter)"
+            return report
+        candidates = build_prefilter_candidates(self._byte_patterns)
+        tables = self._get_device_tables()
+        best = None
+        for pf in candidates:
+            scanner = TeddyScanner(
+                self._automaton,
+                pf,
+                tables.table,
+                tables.classes,
+                tables.match_count,
+                tables.use_classes,
+            )
+            hay2d = scanner.stage(hay)
+            if scanner.occurrences(hay, hay2d=hay2d) is None:
+                seconds = float("inf")  # pathological fire rate
+            else:
+                t0 = time.perf_counter()
+                scanner.occurrences(hay, hay2d=hay2d)
+                seconds = time.perf_counter() - t0
+            entry = {
+                "m": pf.m,
+                "words": pf.words,
+                "passes": pf.passes,
+                "est_fire_rate": pf.est_fire_rate,
+                "seconds": seconds,
+            }
+            report["candidates"].append(entry)
+            if best is None or seconds < best[0]:
+                best = (seconds, pf, scanner)
+        if best is not None and best[0] != float("inf"):
+            _, pf, scanner = best
+            self._teddy = scanner
+            self._teddy_state = (
+                "force" if self._teddy_state == "force" else "auto"
+            )
+            report["chosen"] = {
+                "m": pf.m,
+                "words": pf.words,
+                "passes": pf.passes,
+            }
+        else:
+            report["chosen"] = "none (all candidates fell back)"
+        return report
+
     # -- observability (SURVEY.md §5 metrics plan) ---------------------
     def stats(self) -> dict:
         """Compile-time + runtime statistics.

@@ -228,6 +228,46 @@ def _build_for(
     return pf
 
 
+def build_prefilter_candidates(
+    patterns: Sequence[bytes],
+) -> list[Prefilter]:
+    """Distinct prefilter configurations worth measuring on a real corpus.
+
+    The estimate model (`est_fire_rate`) ranks configurations under the
+    pattern-implied byte distribution, but the observed rate on a user's
+    corpus routinely differs 3x; `TeddyScanner` costs are dominated by the
+    fired-window count, so measured wall time on a corpus sample is the
+    only reliable objective (PERF_NOTES.md backlog: auto-tune by measured
+    time).  Candidates vary plane count and pass count around the
+    heuristic default.
+    """
+    P = len(patterns)
+    if P == 0:
+        return []
+    default = build_prefilter(patterns)
+    if default is None:
+        return []
+    counts = np.bincount(
+        np.frombuffer(b"".join(patterns), dtype=np.uint8), minlength=256
+    ).astype(np.float64)
+    byte_freq = counts / max(counts.sum(), 1.0)
+    out = [default]
+    seen = {(default.m, default.words, default.passes)}
+    for words, passes in (
+        (default.words, 3 - default.passes),  # toggle 1 <-> 2 passes
+        (min(default.words * 2, MAX_WORDS), default.passes),
+        (max(default.words // 2, 1), default.passes),
+    ):
+        key = (default.m, words, passes)
+        if key in seen:
+            continue
+        seen.add(key)
+        out.append(
+            _build_for(patterns, default.m, words, byte_freq, passes)
+        )
+    return out
+
+
 def build_prefilter(
     patterns: Sequence[bytes], target_rate: float = 0.0003
 ) -> Optional[Prefilter]:

@@ -84,3 +84,26 @@ def test_version_check(tmp_path) -> None:
     np.savez(path, **data)
     with pytest.raises(ValueError):
         load_automaton(path)
+
+
+def test_matcher_version_checks(tmp_path) -> None:
+    """Unknown matcher versions are rejected; a v1 file without pattern
+    data gets a clear re-save message instead of a KeyError (ADVICE r2)."""
+    ac = AhoCorasick(["ab"])
+    path = str(tmp_path / "m.npz")
+    save_matcher(path, ac)
+    data = dict(np.load(path))
+    assert int(data["__format__"]) == 2
+
+    bad = dict(data)
+    bad["__format__"] = np.int64(99)
+    np.savez(path, **bad)
+    with pytest.raises(ValueError, match="version 99"):
+        load_matcher(path)
+
+    v1 = dict(data)
+    v1["__format__"] = np.int64(1)
+    del v1["pattern_blob"]
+    np.savez(path, **v1)
+    with pytest.raises(ValueError, match="re-save"):
+        load_matcher(path)

@@ -109,6 +109,26 @@ def test_teddy_dense_corpus_falls_back() -> None:
     assert scanner.worthwhile is False
 
 
+def test_tune_picks_a_config_and_stays_exact() -> None:
+    """Measured-time prefilter tuning keeps scans bit-exact."""
+    from ahocorasick_rs_tpu import AhoCorasick
+
+    rng = random.Random(9)
+    pats = [
+        "".join(chr(rng.randint(97, 122)) for _ in range(5))
+        for _ in range(80)
+    ]
+    hay = "".join(chr(rng.randint(97, 122)) for _ in range(4_000))
+    hay = hay[:100] + pats[3] + hay[100:200] + pats[50] + hay[200:]
+    ac = AhoCorasick(pats)
+    ac._teddy_state = "force"
+    report = ac.tune(hay)
+    assert isinstance(report["chosen"], dict)
+    assert len(report["candidates"]) >= 2
+    want = AhoCorasick(pats, backend="python").find_matches_as_indexes(hay)
+    assert ac.find_matches_as_indexes(hay) == want
+
+
 def test_prefilter_estimates() -> None:
     selective = build_prefilter([b"hello", b"world", b"zebra"])
     dense = build_prefilter([bytes([c]) for c in range(64)])
