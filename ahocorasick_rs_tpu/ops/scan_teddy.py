@@ -228,7 +228,19 @@ def _fire_verify(tables, vtable, classes, hay2d, n, cap, cap2,
     cap2`` — the caller retries with doubled capacities otherwise
     (overflow-and-rescan protocol, SURVEY.md §7).
     """
-    mask = fire_mask(tables, hay2d, m, words, passes).reshape(-1)
+    # One pallas_call per pass (identical kernel shape → one Mosaic
+    # compile, reused), AND-combined in XLA: a single kernel statically
+    # unrolled over both passes doubled the Mosaic program and wedged the
+    # remote compiler on this fabric.
+    rows_pp = 2 * m * words
+    mask = None
+    for p in range(passes):
+        sub = jax.lax.slice_in_dim(
+            tables, p * rows_pp, (p + 1) * rows_pp, axis=0
+        )
+        mp = fire_mask(sub, hay2d, m, words, 1)
+        mask = mp if mask is None else (mask & mp)
+    mask = mask.reshape(-1)
     G = mask.shape[0] // COARSE
     grp = jnp.max(mask.reshape(G, COARSE), axis=1)
     gidx = jnp.arange(G, dtype=jnp.int32)

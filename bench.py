@@ -177,6 +177,13 @@ def bench_scenarios(detail: dict) -> None:
 
 
 def main() -> None:
+    try:
+        from ahocorasick_rs_tpu.utils.cache import enable_compilation_cache
+
+        enable_compilation_cache()
+    except Exception:
+        pass  # cache is a speedup, never a requirement
+
     rng = np.random.default_rng(1234)
     names = synth_names(PATTERNS, rng)
     n = HAYSTACK_MB << 20
