@@ -10,6 +10,7 @@ for large corpora (``ahocorasick_rs_tpu.parallel``).
 
 from .api import AhoCorasick, BytesAhoCorasick
 from .models.engine import Implementation, MatchKind
+from .utils.serialization import load_matcher, save_matcher
 
 # Backwards compatibility aliases, mirroring the reference
 # (/root/reference/pysrc/ahocorasick_rs/__init__.py:9-12).
@@ -22,6 +23,9 @@ __all__ = [
     "BytesAhoCorasick",
     "MatchKind",
     "Implementation",
+    # TPU extras (no reference counterpart):
+    "save_matcher",
+    "load_matcher",
     # Deprecated:
     "MATCHKIND_STANDARD",
     "MATCHKIND_LEFTMOST_FIRST",
