@@ -60,13 +60,31 @@ def auto_budgets() -> tuple[int, int]:
         try:
             import jax
 
-            stats = jax.devices()[0].memory_stats()
+            dev = jax.devices()[0]
+            stats = dev.memory_stats()
             if stats:
                 limit = int(
                     stats.get("bytes_limit")
                     or stats.get("bytes_reservable_limit")
                     or 0
                 )
+            if limit == 0:
+                # some backends report no stats; fall back to the known
+                # HBM of the device generation
+                kind = (getattr(dev, "device_kind", "") or "").lower()
+                for key, hbm in (
+                    ("v5 lite", 16 << 30),
+                    ("v5e", 16 << 30),
+                    ("v5p", 95 << 30),
+                    ("v6 lite", 32 << 30),
+                    ("v6e", 32 << 30),
+                    ("v4", 32 << 30),
+                    ("v3", 16 << 30),
+                    ("v2", 8 << 30),
+                ):
+                    if key in kind:
+                        limit = hbm
+                        break
         except Exception:
             limit = 0
         if limit > 0:
