@@ -307,6 +307,7 @@ class _MatcherBase:
             if occ is None:
                 self._teddy_state = "off"
         if occ is not None:
+            self._last_backend = "teddy_batch"
             pids, starts, ends = occ
             lane = starts // T
             keep = (lane < B) & (ends <= lane * T + lens[lane])
@@ -330,6 +331,7 @@ class _MatcherBase:
         per_doc = scan_jax.scan_device_batch(
             am, docs, self._get_device_tables()
         )
+        self._last_backend = "device_batch"
         return [
             _resolve.expand_occurrences(am, p, s) for p, s in per_doc
         ]
@@ -351,12 +353,18 @@ class _MatcherBase:
         ):
             return [self._find(d, overlapping) for d in docs]
         kind = self._matchkind.value
-        return [
-            _resolve.resolve(
-                pids, starts, ends, kind=kind, overlapping=overlapping
-            )
-            for (pids, starts, ends) in self._batch_occurrences(docs)
-        ]
+        t0 = time.perf_counter()
+        with _trace("ahocorasick:scan_batch"):
+            occs = self._batch_occurrences(docs)
+        with _trace("ahocorasick:resolve"):
+            out = [
+                _resolve.resolve(
+                    pids, starts, ends, kind=kind, overlapping=overlapping
+                )
+                for (pids, starts, ends) in occs
+            ]
+        self._note_scan(total, time.perf_counter() - t0)
+        return out
 
     def _find(
         self, hay: np.ndarray, overlapping: bool
