@@ -1,7 +1,11 @@
 """Where do the Teddy pipeline's milliseconds go? (device-resident, 64MB)"""
 from __future__ import annotations
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
