@@ -253,18 +253,20 @@ def build_prefilter_candidates(
     byte_freq = counts / max(counts.sum(), 1.0)
     out = [default]
     seen = {(default.m, default.words, default.passes)}
-    for words, passes in (
-        (default.words, 3 - default.passes),  # toggle 1 <-> 2 passes
-        (min(default.words * 2, MAX_WORDS), default.passes),
-        (max(default.words // 2, 1), default.passes),
+    for m, words, passes in (
+        # toggle 1 <-> 2 passes
+        (default.m, default.words, 3 - default.passes),
+        (default.m, min(default.words * 2, MAX_WORDS), default.passes),
+        (default.m, max(default.words // 2, 1), default.passes),
+        # shorter fingerprint: cheaper fire kernel, higher fire rate
+        (max(default.m - 2, MIN_FINGERPRINT), default.words,
+         default.passes),
     ):
-        key = (default.m, words, passes)
+        key = (m, words, passes)
         if key in seen:
             continue
         seen.add(key)
-        out.append(
-            _build_for(patterns, default.m, words, byte_freq, passes)
-        )
+        out.append(_build_for(patterns, m, words, byte_freq, passes))
     return out
 
 
