@@ -215,22 +215,24 @@ def scan_device_batch(
     lens_dev = jnp.asarray(lens)
     cap = tables.last_cap
     while True:
-        pos, st, total = _scan_batch_compact(
-            tables.table,
-            tables.classes,
-            hay2d,
-            lens_dev,
-            tables.match_count,
-            cap,
-            tables.use_classes,
+        pos, st, total = jax.device_get(
+            _scan_batch_compact(
+                tables.table,
+                tables.classes,
+                hay2d,
+                lens_dev,
+                tables.match_count,
+                cap,
+                tables.use_classes,
+            )
         )
         total = int(total)
         if total <= cap:
             break
         cap = _bucket(total, lo=4096)
     tables.last_cap = max(4096, _bucket(max(total, 1), lo=4096))
-    pos = np.asarray(pos[:total], dtype=np.int64)
-    st = np.asarray(st[:total], dtype=np.int64)
+    pos = pos[:total].astype(np.int64)
+    st = st[:total].astype(np.int64)
     # split ascending flat positions into per-document local positions
     bounds = np.searchsorted(pos, np.arange(1, B + 1) * T)
     out = []
@@ -511,13 +513,15 @@ def scan_device(
                     cap,
                     tables.use_classes,
                 )
+            # one host fetch for all outputs (each fetch is a round trip)
+            pos, st, total = jax.device_get((pos, st, total))
             total = int(total)
             if total <= cap:
                 break
             cap = _bucket(total, lo=4096)
         tables.last_cap = max(4096, _bucket(total, lo=4096))
-        pos = np.asarray(pos[:total], dtype=np.int64)
-        st = np.asarray(st[:total], dtype=np.int64)
+        pos = pos[:total].astype(np.int64)
+        st = st[:total].astype(np.int64)
         keep = pos >= drop
         all_pos.append(pos[keep] - drop + seg_start)
         all_states.append(st[keep])

@@ -175,9 +175,10 @@ def _verify_body(vtable, classes, hay_pad, fire_pos, n, W, cap2,
     pos_safe = jnp.maximum(fire_pos, 0)
     col = jnp.arange(W, dtype=jnp.int32)[None, :]
     src = pos_safe[:, None] + col
-    # one element-indexed gather [M, W]; measured 2.5x faster than the
-    # vmap(dynamic_slice) slice-gather lowering on this fabric
-    ext = hay_pad[src]
+    # one element-indexed gather [M, W] from the uint8 haystack (widened
+    # after the gather — no O(n) int32 haystack copy); measured 2.5x
+    # faster than the vmap(dynamic_slice) slice-gather lowering here
+    ext = hay_pad[src].astype(jnp.int32)
     invalid = (src >= n) | (fire_pos[:, None] < 0)
     ext = jnp.where(invalid, PAD_BYTE, ext)
     if use_classes:
@@ -247,11 +248,10 @@ def _fire_verify(tables, vtable, classes, hay2d, n, cap, cap2,
     fired = (grp != 0) & (gidx * COARSE < n)
     fire_grp, ftotal = compact_sparse(fired, cap)
     fire_pos = jnp.where(fire_grp >= 0, fire_grp * COARSE, -1)
+    # trailing zero pad (uint8 can't hold PAD_BYTE): positions >= n are
+    # remapped to PAD_BYTE inside _verify_body after the gather
     hay_pad = jnp.concatenate(
-        [
-            hay2d.reshape(-1).astype(jnp.int32),
-            jnp.full((W,), PAD_BYTE, jnp.int32),
-        ]
+        [hay2d.reshape(-1), jnp.zeros((W,), jnp.uint8)]
     )
     win, step, st, mtotal = _verify_body(
         vtable, classes, hay_pad, fire_pos, n, W, cap2, use_classes
@@ -318,19 +318,24 @@ class TeddyScanner:
         cap, cap2 = self.fire_cap, self.match_cap
         too_many = max(1 << 16, n // 2)  # groups×W beyond this: dense wins
         while True:
-            fire_pos, ftotal, win, step, st, mtotal = _fire_verify(
-                self.tables,
-                self.vtable,
-                self.classes,
-                hay2d,
-                jnp.int32(n),
-                cap,
-                cap2,
-                self.m,
-                self.words,
-                self.passes,
-                W,
-                self.use_classes,
+            # ONE device_get for every output: each separate host fetch
+            # costs a tunnel round trip (10-30ms), which dominated the
+            # pipeline tail when fetched piecemeal.
+            fire_np, ftotal, win, step, st, mtotal = jax.device_get(
+                _fire_verify(
+                    self.tables,
+                    self.vtable,
+                    self.classes,
+                    hay2d,
+                    jnp.int32(n),
+                    cap,
+                    cap2,
+                    self.m,
+                    self.words,
+                    self.passes,
+                    W,
+                    self.use_classes,
+                )
             )
             ftotal = int(ftotal)
             if ftotal > cap:
@@ -353,10 +358,10 @@ class TeddyScanner:
             # verification rescans too much — let caller fall back
             self.worthwhile = False
             return None
-        win = np.asarray(win[:mtotal], dtype=np.int64)
-        step = np.asarray(step[:mtotal], dtype=np.int64)
-        st = np.asarray(st[:mtotal], dtype=np.int64)
-        fire_np = np.asarray(fire_pos, dtype=np.int64)
+        win = win[:mtotal].astype(np.int64)
+        step = step[:mtotal].astype(np.int64)
+        st = st[:mtotal].astype(np.int64)
+        fire_np = fire_np.astype(np.int64)
         # Host: CSR-expand candidate states, keep only matches whose start
         # lies inside the window's COARSE group (each true occurrence fires
         # at its start, so it is kept by exactly one window).

@@ -154,13 +154,12 @@ def scan_sharded(
             mesh,
             axis,
         )
-        totals_np = np.asarray(totals)
+        pos, st, totals_np = jax.device_get((pos, st, totals))
         worst = int(totals_np.max()) if totals_np.size else 0
         if worst <= cap:
             break
         cap = _bucket(worst, lo=4096)
-    pos = np.asarray(pos)  # [n_dev, cap]
-    st = np.asarray(st)
+    # pos/st are host [n_dev, cap] arrays from the single fetch above
     out_pos: list[np.ndarray] = []
     out_st: list[np.ndarray] = []
     for d in range(n_dev):
