@@ -122,3 +122,19 @@ def test_batch_many_docs_wide_lengths():
     ac = AhoCorasick(pats, backend="device")
     want = [ac.find_matches_as_indexes(d) for d in docs]
     assert ac.find_matches_as_indexes_batch(docs) == want
+
+
+def test_stats_counters_accumulate():
+    """stats() exposes runtime scan counters (SURVEY §5 metrics)."""
+    ac = AhoCorasick(PATTERNS)
+    s0 = ac.stats()
+    assert s0["scan_calls"] == 0 and s0["last_backend"] is None
+    ac.find_matches_as_indexes("the winter of my discontent")
+    ac.find_matches_as_indexes_batch(DOCS)
+    s = ac.stats()
+    assert s["scan_calls"] >= 2
+    assert s["scan_bytes"] > 0
+    assert s["scan_seconds"] > 0
+    assert s["scan_bytes_per_second"] > 0
+    assert s["last_backend"] is not None
+    assert s["implementation"] == "DFA"
