@@ -78,18 +78,28 @@ def _make_fire_kernel(m: int, words: int, passes: int):
             tab = jnp.broadcast_to(t[row : row + 1, :], idx.shape)
             return jnp.take_along_axis(tab, idx, axis=1)
 
+        # Gather-shuffles commute with position permutation, so rolling the
+        # nibble *inputs* once per fingerprint position (2 rolls, shared by
+        # every plane and pass) replaces the per-(k, word) roll of the
+        # ANDed terms — words*passes fewer leftrolls per position.
         any_fire = None
+        fires = [None] * (passes * words)
+        for k in range(m):
+            if k:
+                lo = _leftroll(lo, 1, R)
+                hi = _leftroll(hi, 1, R)
+            for p in range(passes):
+                base = p * m * 2 * words
+                for w in range(words):
+                    term = lut(base + (2 * k) * words + w, lo) & lut(
+                        base + (2 * k + 1) * words + w, hi
+                    )
+                    j = p * words + w
+                    fires[j] = term if k == 0 else (fires[j] & term)
         for p in range(passes):
             pass_hit = None
             for w in range(words):
-                base = p * m * 2 * words
-                fire = lut(base + w, lo) & lut(base + words + w, hi)
-                for k in range(1, m):
-                    term = lut(
-                        base + (2 * k) * words + w, lo
-                    ) & lut(base + (2 * k + 1) * words + w, hi)
-                    fire = fire & _leftroll(term, k, R)
-                hit = fire != 0
+                hit = fires[p * words + w] != 0
                 pass_hit = hit if pass_hit is None else (pass_hit | hit)
             any_fire = (
                 pass_hit if any_fire is None else (any_fire & pass_hit)
