@@ -258,8 +258,11 @@ def build_prefilter_candidates(
         (default.m, default.words, 3 - default.passes),
         (default.m, min(default.words * 2, MAX_WORDS), default.passes),
         (default.m, max(default.words // 2, 1), default.passes),
-        # shorter fingerprint: cheaper fire kernel, higher fire rate
-        (max(default.m - 2, MIN_FINGERPRINT), default.words,
+        # fingerprint length around the model's pick: the cost model's
+        # constants are calibrated once, real corpora move the knee ±1
+        (max(default.m - 1, MIN_FINGERPRINT), default.words,
+         default.passes),
+        (min(default.m + 1, MAX_FINGERPRINT), default.words,
          default.passes),
     ):
         key = (m, words, passes)
@@ -270,19 +273,48 @@ def build_prefilter_candidates(
     return out
 
 
-def build_prefilter(
-    patterns: Sequence[bytes], target_rate: float = 0.0003
-) -> Optional[Prefilter]:
-    """Compile nibble tables, growing fingerprint/planes until selective.
+#: relative cost of one verification-window gather-step vs one fire-kernel
+#: VPU op.  Calibrated on this fabric (PERF_NOTES.md round 3: fire kernel
+#: ~0.017 ns/byte per m*words*passes unit, verify gathers ~20 ns/element);
+#: the *ratio* is what matters and it is hardware-shaped (gathers are
+#: latency-bound on every TPU generation, VPU ops are not), so the model
+#: transfers across chips even if both absolute costs change.
+GATHER_COST_RATIO = 1200.0
+#: coarse verification group size — must mirror ops/scan_teddy.py COARSE
+#: (imported there; duplicated here would be a circular import).
+_COARSE = 16
 
-    Plane count follows pattern count (≈48 patterns per bucket triggers
-    another plane, capped at :data:`MAX_WORDS`); the fingerprint length
-    grows until the estimated fire rate reaches ``target_rate`` or stops
-    improving.  Returns None for empty pattern sets.
+
+def _model_cost(m: int, words: int, passes: int, est_rate: float,
+                max_len: int) -> float:
+    """Estimated scan cost per haystack byte, in fire-kernel VPU-op units.
+
+    fire: every byte pays ``m * words * passes`` nibble-shuffle units.
+    verify: a fired COARSE-byte group pays ``W = max_len + COARSE - 1``
+    gather-steps, amortized over COARSE bytes; group fire probability is
+    ``1 - (1 - r)^COARSE`` for per-byte rate ``r``.
+    """
+    group_rate = 1.0 - (1.0 - min(est_rate, 1.0)) ** _COARSE
+    verify = group_rate * (max_len + _COARSE - 1) / _COARSE
+    return m * words * passes + GATHER_COST_RATIO * verify
+
+
+def build_prefilter(patterns: Sequence[bytes]) -> Optional[Prefilter]:
+    """Compile nibble tables, choosing the fingerprint by a cost model.
+
+    Plane count follows pattern count (≈8 patterns per bucket, capped at
+    :data:`MAX_WORDS`); the fingerprint length ``m`` then minimizes the
+    modeled scan cost — fire-kernel VPU work grows linearly in ``m`` while
+    the verification gather work shrinks with the estimated fire rate, so
+    the optimum is the shortest fingerprint whose false fires are already
+    cheap to verify (measured sweep, PERF_NOTES.md round 3: m=6 beats the
+    max-selectivity m=8 by ~20% on the LONG corpus).  Returns None for
+    empty pattern sets.
     """
     P = len(patterns)
     if P == 0:
         return None
+    max_len = max(len(p) for p in patterns)
     # target ≈8 patterns per bucket — beyond that the per-position nibble
     # sets of random-ish patterns saturate and the filter stops filtering
     words = 1
@@ -297,14 +329,16 @@ def build_prefilter(
     ).astype(np.float64)
     byte_freq = counts / max(counts.sum(), 1.0)
     best: Optional[Prefilter] = None
-    prev_rate: Optional[float] = None
+    best_cost = float("inf")
+    rising = 0
     for m in range(MIN_FINGERPRINT, MAX_FINGERPRINT + 1):
         pf = _build_for(patterns, m, words, byte_freq, passes)
-        if best is None or pf.est_fire_rate < best.est_fire_rate:
-            best = pf
-        if best.est_fire_rate <= target_rate:
-            break
-        if prev_rate is not None and pf.est_fire_rate > prev_rate * 0.9:
-            break  # longer fingerprints stopped helping
-        prev_rate = pf.est_fire_rate
+        cost = _model_cost(m, words, passes, pf.est_fire_rate, max_len)
+        if cost < best_cost:
+            best, best_cost = pf, cost
+            rising = 0
+        else:
+            rising += 1
+            if rising >= 2:
+                break  # cost is convex in m; two rises = past the knee
     return best
