@@ -278,15 +278,17 @@ class _MatcherBase:
         return self._device_tables
 
     # -- batched many-small-haystack path ------------------------------
-    def _batch_occurrences(self, docs: list) -> list:
-        """Per-document complete occurrence sets in one device dispatch.
+    def _batch_occurrences(self, docs: list):
+        """Flat multi-document occurrence set from one device dispatch.
 
         The documents share a zero-padded ``[B, T]`` layout (one lane per
         document, ``T`` a power of two).  The prefiltered pipeline runs
         over the flattened buffer — lanes never share a COARSE group since
         ``T % COARSE == 0`` — and matches are filtered to their owning
         document's byte range, so cross-document false matches (spanning
-        padding into the next lane) are impossible.
+        padding into the next lane) are impossible.  Returns
+        ``(pids, starts, ends, offsets)`` in the flat coordinate space
+        ``resolve_batch`` consumes (document ``i`` at ``[i*T, i*T+len)``).
         """
         from .ops import scan_jax
 
@@ -312,29 +314,39 @@ class _MatcherBase:
             lane = starts // T
             keep = (lane < B) & (ends <= lane * T + lens[lane])
             pids, starts, ends = pids[keep], starts[keep], ends[keep]
-            lane = starts // T
-            # occurrences are end-ascending, so lanes are non-decreasing
-            bounds = np.searchsorted(ends, np.arange(1, B + 1) * T, "right")
-            out = []
-            prev = 0
-            for i in range(B):
-                hi = bounds[i]
-                out.append(
-                    (
-                        pids[prev:hi],
-                        starts[prev:hi] - i * T,
-                        ends[prev:hi] - i * T,
-                    )
-                )
-                prev = hi
-            return out
-        per_doc = scan_jax.scan_device_batch(
-            am, docs, self._get_device_tables()
-        )
-        self._last_backend = "device_batch"
-        return [
-            _resolve.expand_occurrences(am, p, s) for p, s in per_doc
-        ]
+        else:
+            pos, st, T = scan_jax.scan_device_batch(
+                am, docs, self._get_device_tables()
+            )
+            self._last_backend = "device_batch"
+            pids, starts, ends = _resolve.expand_occurrences(am, pos, st)
+        offsets = np.arange(B + 1, dtype=np.int64) * T
+        return pids, starts, ends, offsets
+
+    def _native_batch_occurrences(self, docs: list):
+        """Flat occurrence set from ONE native foreign call over the
+        concatenated documents (GIL released for the whole batch)."""
+        from .models import native as _native
+
+        am = self._automaton
+        offsets = np.zeros(len(docs) + 1, dtype=np.int64)
+        np.cumsum([len(d) for d in docs], out=offsets[1:])
+        buf = np.concatenate(docs) if docs else np.zeros(0, np.uint8)
+        if self._implementation is not Implementation.DFA and (
+            self._implementation is Implementation.ContiguousNFA
+            or am._delta_classed is not None
+        ):
+            pos, st = _native.scan_dense_native_batch(
+                am.delta_classed, am.match_count, buf, offsets,
+                classes=am.byte_classes,
+            )
+        else:
+            pos, st = _native.scan_dense_native_batch(
+                am.delta, am.match_count, buf, offsets
+            )
+        self._last_backend = "native_batch"
+        pids, starts, ends = _resolve.expand_occurrences(am, pos, st)
+        return pids, starts, ends, offsets
 
     def _find_batch(
         self, docs: list, overlapping: bool
@@ -347,22 +359,31 @@ class _MatcherBase:
             use_device = total >= DEVICE_TIER_MIN and len(docs) > 1
         else:
             use_device = backend == "device"
-        if (
+        use_device = use_device and (
+            self._implementation is not Implementation.NoncontiguousNFA
+        )
+        use_native = (
             not use_device
-            or self._implementation is Implementation.NoncontiguousNFA
-        ):
+            and backend in ("auto", "native")
+            and len(docs) > 1
+            and self._native_ok()
+        )
+        if not (use_device or use_native):
             return [self._find(d, overlapping) for d in docs]
         kind = self._matchkind.value
         t0 = time.perf_counter()
         with _trace("ahocorasick:scan_batch"):
-            occs = self._batch_occurrences(docs)
-        with _trace("ahocorasick:resolve"):
-            out = [
-                _resolve.resolve(
-                    pids, starts, ends, kind=kind, overlapping=overlapping
+            if use_device:
+                pids, starts, ends, offsets = self._batch_occurrences(docs)
+            else:
+                pids, starts, ends, offsets = (
+                    self._native_batch_occurrences(docs)
                 )
-                for (pids, starts, ends) in occs
-            ]
+        with _trace("ahocorasick:resolve"):
+            out = _resolve.resolve_batch(
+                pids, starts, ends, offsets,
+                kind=kind, overlapping=overlapping,
+            )
         self._note_scan(total, time.perf_counter() - t0)
         return out
 

@@ -104,6 +104,16 @@ def _load() -> Optional[ctypes.CDLL]:
             _i32p, ctypes.c_int64, _i32p, _i32p, _i8p, ctypes.c_int64,
             _i64p, _i32p, ctypes.c_int64,
         ]
+        lib.ac_scan_dense_batch.restype = ctypes.c_int64
+        lib.ac_scan_dense_batch.argtypes = [
+            _i32p, _i32p, _i8p, _i64p, ctypes.c_int64, _i64p, _i32p,
+            ctypes.c_int64,
+        ]
+        lib.ac_scan_classed_batch.restype = ctypes.c_int64
+        lib.ac_scan_classed_batch.argtypes = [
+            _i32p, ctypes.c_int64, _i32p, _i32p, _i8p, _i64p,
+            ctypes.c_int64, _i64p, _i32p, ctypes.c_int64,
+        ]
         _lib = lib
         return _lib
 
@@ -143,6 +153,56 @@ def scan_dense_native(
                 match_count,
                 hay,
                 n,
+                out_pos,
+                out_state,
+                cap,
+            )
+        if found <= cap:
+            return out_pos[:found], out_state[:found].astype(np.int64)
+        cap = int(found)
+
+
+def scan_dense_native_batch(
+    delta: np.ndarray,
+    match_count: np.ndarray,
+    buf: np.ndarray,
+    offsets: np.ndarray,
+    classes: Optional[np.ndarray] = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Native batch scan over concatenated documents (one foreign call).
+
+    ``buf`` holds the documents back to back; document ``d`` spans
+    ``buf[offsets[d]:offsets[d+1]]`` and is scanned from the root.  Returns
+    matched (positions, states) in concatenated coordinates — ascending, so
+    per-document slices are recoverable by binary search over ``offsets``.
+    """
+    lib = _load()
+    assert lib is not None
+    ndocs = len(offsets) - 1
+    buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    if len(buf) == 0:
+        buf = np.zeros(1, dtype=np.uint8)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    delta = np.ascontiguousarray(delta, dtype=np.int32)
+    match_count = np.ascontiguousarray(match_count, dtype=np.int32)
+    cap = max(4096, len(buf) // 64)
+    while True:
+        out_pos = np.empty(cap, dtype=np.int64)
+        out_state = np.empty(cap, dtype=np.int32)
+        if classes is None:
+            found = lib.ac_scan_dense_batch(
+                delta, match_count, buf, offsets, ndocs, out_pos,
+                out_state, cap,
+            )
+        else:
+            found = lib.ac_scan_classed_batch(
+                delta,
+                delta.shape[1],
+                np.ascontiguousarray(classes, dtype=np.int32),
+                match_count,
+                buf,
+                offsets,
+                ndocs,
                 out_pos,
                 out_state,
                 cap,

@@ -246,4 +246,59 @@ int64_t ac_scan_classed(const int32_t *delta, int64_t num_classes,
   return found;
 }
 
+// Batched variants: scan `ndocs` concatenated documents (document d spans
+// buf[offsets[d] .. offsets[d+1])), restarting from the root at every
+// document start.  One foreign call (one GIL release) serves an entire
+// many-small-haystack workload — the reference benchmark's actual shape
+// (/root/reference/benchmarks/test_comparison.py:16-53) — instead of one
+// call (plus Python dispatch) per document.  Emitted positions are in the
+// concatenated coordinate space (ascending), so document boundaries can be
+// recovered with a binary search over `offsets`.
+int64_t ac_scan_dense_batch(const int32_t *delta, const int32_t *match_count,
+                            const uint8_t *buf, const int64_t *offsets,
+                            int64_t ndocs, int64_t *out_pos,
+                            int32_t *out_state, int64_t cap) {
+  int64_t found = 0;
+  for (int64_t d = 0; d < ndocs; ++d) {
+    int32_t state = 0;
+    const int64_t end = offsets[d + 1];
+    for (int64_t i = offsets[d]; i < end; ++i) {
+      state = delta[static_cast<int64_t>(state) * 257 + buf[i]];
+      if (match_count[state]) {
+        if (found < cap) {
+          out_pos[found] = i;
+          out_state[found] = state;
+        }
+        ++found;
+      }
+    }
+  }
+  return found;
+}
+
+int64_t ac_scan_classed_batch(const int32_t *delta, int64_t num_classes,
+                              const int32_t *classes,
+                              const int32_t *match_count, const uint8_t *buf,
+                              const int64_t *offsets, int64_t ndocs,
+                              int64_t *out_pos, int32_t *out_state,
+                              int64_t cap) {
+  int64_t found = 0;
+  for (int64_t d = 0; d < ndocs; ++d) {
+    int32_t state = 0;
+    const int64_t end = offsets[d + 1];
+    for (int64_t i = offsets[d]; i < end; ++i) {
+      state =
+          delta[static_cast<int64_t>(state) * num_classes + classes[buf[i]]];
+      if (match_count[state]) {
+        if (found < cap) {
+          out_pos[found] = i;
+          out_state[found] = state;
+        }
+        ++found;
+      }
+    }
+  }
+  return found;
+}
+
 }  // extern "C"

@@ -105,6 +105,34 @@ def _greedy_chain_indexes(starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
     return np.nonzero(mark)[0]
 
 
+def _resolve_arrays(
+    pids: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    kind: str,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Non-overlapping resolution core; returns the kept arrays.
+
+    Kept matches come back position-ordered: (end asc) for ``standard``,
+    (start asc) for the leftmost kinds.
+    """
+    if kind == "standard":
+        # Already in priority order: (end asc, start asc) — within one end
+        # position, longer pattern == smaller start.
+        order = None
+    elif kind == "leftmost_first":
+        order = np.lexsort((pids, starts))
+    elif kind == "leftmost_longest":
+        order = np.lexsort((pids, starts - ends, starts))
+    else:  # pragma: no cover - internal misuse
+        raise ValueError(f"unknown match kind: {kind}")
+
+    if order is not None:
+        pids, starts, ends = pids[order], starts[order], ends[order]
+    keep = _greedy_chain_indexes(starts, ends)
+    return pids[keep], starts[keep], ends[keep]
+
+
 def resolve(
     pids: np.ndarray,
     starts: np.ndarray,
@@ -125,21 +153,60 @@ def resolve(
         )
     if len(pids) == 0:
         return []
-
-    if kind == "standard":
-        # Already in priority order: (end asc, start asc) — within one end
-        # position, longer pattern == smaller start.
-        order = None
-    elif kind == "leftmost_first":
-        order = np.lexsort((pids, starts))
-    elif kind == "leftmost_longest":
-        order = np.lexsort((pids, starts - ends, starts))
-    else:  # pragma: no cover - internal misuse
-        raise ValueError(f"unknown match kind: {kind}")
-
-    if order is not None:
-        pids, starts, ends = pids[order], starts[order], ends[order]
-    keep = _greedy_chain_indexes(starts, ends)
+    pids, starts, ends = _resolve_arrays(pids, starts, ends, kind)
     return list(
-        zip(pids[keep].tolist(), starts[keep].tolist(), ends[keep].tolist())
+        zip(pids.tolist(), starts.tolist(), ends.tolist())
     )
+
+
+def resolve_batch(
+    pids: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    offsets: np.ndarray,
+    *,
+    kind: str = "standard",
+    overlapping: bool = False,
+) -> list[list[tuple[int, int, int]]]:
+    """Per-document semantics over a flat multi-document occurrence set.
+
+    Documents occupy disjoint, ascending position ranges (document ``d``
+    spans ``[offsets[d], offsets[d+1])``) and no occurrence crosses a
+    boundary, so every semantic reduction factorises: the greedy restart
+    sweep never carries state across a gap (the next document's starts are
+    >= the previous document's range end), and leftmost selection is local
+    to a start position.  ONE vectorized global resolution therefore equals
+    the concatenation of per-document resolutions — this is what makes the
+    batched API's semantics cost O(total matches), not O(documents) numpy
+    dispatches.  Returns per-document match lists in local coordinates.
+    """
+    offsets = np.asarray(offsets, dtype=np.int64)
+    B = len(offsets) - 1
+    if len(pids) == 0:
+        return [[] for _ in range(B)]
+    if overlapping:
+        kp, ks, ke = pids, starts, ends
+    else:
+        kp, ks, ke = _resolve_arrays(pids, starts, ends, kind)
+    # kept matches are position-ordered (end asc or start asc — both give
+    # non-decreasing document ids over disjoint ranges)
+    if not overlapping and kind != "standard":
+        bounds = np.searchsorted(ks, offsets[1:], side="left")
+    else:
+        # ends are exclusive: document d's ends lie in (offsets[d],
+        # offsets[d+1]]
+        bounds = np.searchsorted(ke, offsets[1:], side="right")
+    counts = np.diff(np.concatenate([[0], bounds]))
+    docoff = np.repeat(offsets[:B], counts)
+    kp = kp.tolist()
+    ks = (ks - docoff).tolist()
+    ke = (ke - docoff).tolist()
+    prev = 0
+    out: list[list[tuple[int, int, int]]] = []
+    for d in range(B):
+        hi = int(bounds[d])
+        out.append(
+            list(zip(kp[prev:hi], ks[prev:hi], ke[prev:hi]))
+        )
+        prev = hi
+    return out

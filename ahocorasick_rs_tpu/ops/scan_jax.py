@@ -194,15 +194,16 @@ def scan_device_batch(
     am: Automaton,
     docs: list,
     tables: "DeviceTables",
-) -> list:
+) -> tuple[np.ndarray, np.ndarray, int]:
     """Scan many small documents in one device dispatch.
 
-    Returns a list of per-document ``(positions, states)`` int64 pairs,
-    each identical to what a single-document scan would produce.
+    Returns flat ascending ``(positions, states, T)`` where document ``i``
+    occupies positions ``[i*T, i*T + len(doc_i))`` — the layout
+    ``ops.resolve.resolve_batch`` consumes directly.
     """
     B = len(docs)
     if B == 0:
-        return []
+        return np.zeros(0, np.int64), np.zeros(0, np.int64), 1
     Tmax = max((len(d) for d in docs), default=1)
     T = _bucket(max(Tmax, 16), lo=16)
     Bb = _bucket(max(B, MIN_LANES), lo=MIN_LANES)
@@ -231,17 +232,7 @@ def scan_device_batch(
             break
         cap = _bucket(total, lo=4096)
     tables.last_cap = max(4096, _bucket(max(total, 1), lo=4096))
-    pos = pos[:total].astype(np.int64)
-    st = st[:total].astype(np.int64)
-    # split ascending flat positions into per-document local positions
-    bounds = np.searchsorted(pos, np.arange(1, B + 1) * T)
-    out = []
-    prev = 0
-    for i in range(B):
-        hi = bounds[i]
-        out.append((pos[prev:hi] - i * T, st[prev:hi]))
-        prev = hi
-    return out
+    return pos[:total].astype(np.int64), st[:total].astype(np.int64), T
 
 
 #: build the stride-2 packed table when it fits in this many bytes.

@@ -124,6 +124,48 @@ def test_batch_many_docs_wide_lengths():
     assert ac.find_matches_as_indexes_batch(docs) == want
 
 
+@pytest.mark.parametrize(
+    "kind",
+    [MatchKind.Standard, MatchKind.LeftmostFirst, MatchKind.LeftmostLongest],
+)
+def test_native_batch_equals_loop(kind):
+    """Sub-device-tier batches take ONE native call; output == loop."""
+    from ahocorasick_rs_tpu.models import native
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+    ac = AhoCorasick(PATTERNS, matchkind=kind)  # auto routes native_batch
+    want = [ac.find_matches_as_indexes(d) for d in DOCS]
+    got = ac.find_matches_as_indexes_batch(DOCS)
+    assert got == want
+    assert ac.stats()["last_backend"] == "native_batch"
+
+
+def test_native_batch_overlapping():
+    from ahocorasick_rs_tpu.models import native
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+    ac = AhoCorasick(PATTERNS)
+    want = [ac.find_matches_as_indexes(d, overlapping=True) for d in DOCS]
+    got = ac.find_matches_as_indexes_batch(DOCS, overlapping=True)
+    assert got == want
+    assert ac.stats()["last_backend"] == "native_batch"
+
+
+def test_native_batch_classed_engine():
+    from ahocorasick_rs_tpu.models import native
+    from ahocorasick_rs_tpu import Implementation
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+    ac = AhoCorasick(
+        PATTERNS, implementation=Implementation.ContiguousNFA
+    )
+    want = [ac.find_matches_as_indexes(d) for d in DOCS]
+    assert ac.find_matches_as_indexes_batch(DOCS) == want
+
+
 def test_stats_counters_accumulate():
     """stats() exposes runtime scan counters (SURVEY §5 metrics)."""
     ac = AhoCorasick(PATTERNS)
