@@ -295,13 +295,20 @@ class _MatcherBase:
         am = self._automaton
         B = len(docs)
         longest = max((len(d) for d in docs), default=1)
-        T = scan_jax._bucket(max(longest, 16), lo=16)
         total = sum(len(d) for d in docs)
         occ = None
+        T = 0
         if self._teddy_wanted(total) and self._get_teddy() is not None:
-            Bb = scan_jax._bucket(max(B, 8), lo=8)
-            buf = np.zeros(Bb * T, dtype=np.uint8)
-            lens = np.zeros(Bb, dtype=np.int64)
+            # Lanes only need COARSE alignment here (the fire kernel's
+            # compile shapes depend on the row count, which stage()
+            # buckets separately), so a tight T keeps the staged buffer —
+            # and the host->device transfer — near sum(len) instead of a
+            # power-of-two blowup.
+            from .ops.scan_teddy import COARSE
+
+            T = -(-max(longest, 1) // COARSE) * COARSE
+            buf = np.zeros(B * T, dtype=np.uint8)
+            lens = np.zeros(max(B, 1), dtype=np.int64)
             for i, d in enumerate(docs):
                 buf[i * T : i * T + len(d)] = d
                 lens[i] = len(d)
@@ -315,6 +322,8 @@ class _MatcherBase:
             keep = (lane < B) & (ends <= lane * T + lens[lane])
             pids, starts, ends = pids[keep], starts[keep], ends[keep]
         else:
+            # dense batch path: T is a power of two there (its kernel
+            # shapes ARE [B, T], so bucketing buys compile reuse)
             pos, st, T = scan_jax.scan_device_batch(
                 am, docs, self._get_device_tables()
             )
