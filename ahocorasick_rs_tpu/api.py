@@ -165,19 +165,7 @@ class _MatcherBase:
             backend = "numpy" if not self._native_ok() else "native"
         self._last_backend = backend
         if backend == "native":
-            from .models import native as _native
-
-            if self._implementation is not Implementation.DFA and (
-                self._implementation is Implementation.ContiguousNFA
-                or am._delta_classed is not None
-            ):
-                return _native.scan_dense_native(
-                    am.delta_classed,
-                    am.match_count,
-                    hay,
-                    classes=am.byte_classes,
-                )
-            return _native.scan_dense_native(am.delta, am.match_count, hay)
+            return self._get_native_scanner().scan(hay)
         if backend == "python":
             return scan_host.scan_python(am, hay.tobytes())
         if backend == "numpy":
@@ -197,17 +185,46 @@ class _MatcherBase:
 
         return scan_jax.scan_device(am, hay, self._get_device_tables())
 
-    def _native_ok(self) -> bool:
-        """Native host scan usable for this matcher's engine?"""
-        from .models import native as _native
+    _native_ok_cache: Optional[bool] = None
+    _native_scanner = None
 
-        if not _native.available():
-            return False
-        if self._implementation is Implementation.NoncontiguousNFA:
-            # honor the sparse engine's low-memory contract: only use the
-            # native walk if a dense/classed table already exists
-            return self._automaton._delta_classed is not None
-        return True
+    def _native_ok(self) -> bool:
+        """Native host scan usable for this matcher's engine? (cached —
+        the availability probe costs a lock + module lookup per call)"""
+        ok = self._native_ok_cache
+        if ok is None:
+            from .models import native as _native
+
+            if not _native.available():
+                ok = False
+            elif self._implementation is Implementation.NoncontiguousNFA:
+                # honor the sparse engine's low-memory contract: only use
+                # the native walk if a dense/classed table already exists
+                ok = self._automaton._delta_classed is not None
+            else:
+                ok = True
+            self._native_ok_cache = ok
+        return ok
+
+    def _get_native_scanner(self):
+        """Per-matcher native scanner (cached table pointers + buffers)."""
+        if self._native_scanner is None:
+            from .models import native as _native
+
+            am = self._automaton
+            if self._implementation is not Implementation.DFA and (
+                self._implementation is Implementation.ContiguousNFA
+                or am._delta_classed is not None
+            ):
+                self._native_scanner = _native.DenseScanner(
+                    am.delta_classed, am.match_count,
+                    classes=am.byte_classes,
+                )
+            else:
+                self._native_scanner = _native.DenseScanner(
+                    am.delta, am.match_count
+                )
+        return self._native_scanner
 
     # -- prefiltered (Teddy) path --------------------------------------
     def _get_teddy(self):
@@ -408,6 +425,18 @@ class _MatcherBase:
                 self._last_backend = "teddy"
             else:
                 positions, states = self._scan(hay)
+                if len(positions) <= _resolve._SMALL_THRESHOLD:
+                    # fused expand+resolve, no numpy dispatch overhead —
+                    # the common per-document case (a handful of matches)
+                    out = _resolve.resolve_from_scan_small(
+                        self._automaton,
+                        positions,
+                        states,
+                        self._matchkind.value,
+                        overlapping,
+                    )
+                    self._note_scan(len(hay), time.perf_counter() - t0)
+                    return out
                 occ = _resolve.expand_occurrences(
                     self._automaton, positions, states
                 )

@@ -162,6 +162,99 @@ def scan_dense_native(
         cap = int(found)
 
 
+class DenseScanner:
+    """Per-matcher native scanner with cached ctypes argument state.
+
+    ``scan_dense_native`` pays ~20us/call in ``ndpointer`` conversions and
+    output allocations — more than the scan itself for sub-KB haystacks
+    (the reference's per-call overhead is a single PyO3 boundary,
+    /root/reference/src/lib.rs:229-249).  This caches the table pointers
+    once and reuses thread-local output buffers, calling through a second
+    CDLL handle whose prototypes take raw pointers.
+    """
+
+    def __init__(self, delta, match_count, classes=None):
+        lib = _load_raw()
+        assert lib is not None
+        self._lib = lib
+        # keep references so the arrays outlive the cached pointers
+        self._delta = np.ascontiguousarray(delta, dtype=np.int32)
+        self._mc = np.ascontiguousarray(match_count, dtype=np.int32)
+        self._dp = ctypes.c_void_p(self._delta.ctypes.data)
+        self._mcp = ctypes.c_void_p(self._mc.ctypes.data)
+        self._nc = self._delta.shape[1]
+        if classes is not None:
+            self._classes = np.ascontiguousarray(classes, dtype=np.int32)
+            self._cp = ctypes.c_void_p(self._classes.ctypes.data)
+        else:
+            self._classes = None
+            self._cp = None
+        self._tl = threading.local()
+
+    def _buffers(self, cap: int):
+        bufs = getattr(self._tl, "bufs", None)
+        if bufs is None or bufs[0].shape[0] < cap:
+            bufs = (np.empty(cap, np.int64), np.empty(cap, np.int32))
+            self._tl.bufs = bufs
+        return bufs
+
+    def scan(self, hay: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Matched (positions, states); output arrays are fresh copies."""
+        n = len(hay)
+        if n == 0 or not hay.flags["C_CONTIGUOUS"]:
+            hay = np.ascontiguousarray(hay, dtype=np.uint8)
+        hp = ctypes.c_void_p(hay.ctypes.data if n else 0)
+        cap = 1024
+        while True:
+            out_pos, out_state = self._buffers(cap)
+            cap = out_pos.shape[0]
+            pp = ctypes.c_void_p(out_pos.ctypes.data)
+            sp = ctypes.c_void_p(out_state.ctypes.data)
+            if self._cp is None:
+                found = self._lib.ac_scan_dense(
+                    self._dp, self._mcp, hp, n, pp, sp, cap
+                )
+            else:
+                found = self._lib.ac_scan_classed(
+                    self._dp, self._nc, self._cp, self._mcp, hp, n, pp,
+                    sp, cap,
+                )
+            if found <= cap:
+                return (
+                    out_pos[:found].copy(),
+                    out_state[:found].astype(np.int64),
+                )
+            cap = int(found)
+
+
+_lib_raw: Optional[ctypes.CDLL] = None
+
+
+def _load_raw() -> Optional[ctypes.CDLL]:
+    """Second CDLL handle with raw-pointer prototypes (no per-call
+    ndpointer validation); shares the compiled library with :func:`_load`."""
+    global _lib_raw
+    if _lib_raw is not None:
+        return _lib_raw
+    if _load() is None:  # ensures the library exists on disk
+        return None
+    with _lock:
+        if _lib_raw is None:
+            lib = ctypes.CDLL(_LIB_PATH)
+            p = ctypes.c_void_p
+            lib.ac_scan_dense.restype = ctypes.c_int64
+            lib.ac_scan_dense.argtypes = [
+                p, p, p, ctypes.c_int64, p, p, ctypes.c_int64,
+            ]
+            lib.ac_scan_classed.restype = ctypes.c_int64
+            lib.ac_scan_classed.argtypes = [
+                p, ctypes.c_int64, p, p, p, ctypes.c_int64, p, p,
+                ctypes.c_int64,
+            ]
+            _lib_raw = lib
+    return _lib_raw
+
+
 def scan_dense_native_batch(
     delta: np.ndarray,
     match_count: np.ndarray,

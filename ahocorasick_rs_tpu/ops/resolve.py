@@ -59,6 +59,53 @@ def expand_occurrences(
     return pids, starts, ends
 
 
+#: matched-position counts at or below this go through the pure-Python
+#: expand+resolve fast path — numpy dispatch overhead (~25us of array ops)
+#: dwarfs the work for the per-document match counts of the reference's
+#: benchmark workloads (a handful of matches per ~70-600 char haystack).
+_SMALL_THRESHOLD = 64
+
+
+def resolve_from_scan_small(
+    am: Automaton,
+    positions,
+    states,
+    kind: str,
+    overlapping: bool,
+) -> list[tuple[int, int, int]]:
+    """Fused expand+resolve for small match counts, no numpy dispatches.
+
+    Semantically identical to ``resolve(*expand_occurrences(...))`` —
+    pinned against it by the cross-tier equivalence tests; the CSR
+    expansion order (end asc, len desc, pid asc) and the greedy restart
+    sweep mirror the vectorized path line for line.
+    """
+    mo = am.match_offsets
+    mp = am.match_pids
+    ml = am.match_lens
+    mc = am.match_count
+    occ: list[tuple[int, int, int]] = []
+    for pos, st in zip(positions.tolist(), states.tolist()):
+        e = pos + 1
+        base = int(mo[st])
+        for j in range(int(mc[st])):
+            ln = int(ml[base + j])
+            occ.append((int(mp[base + j]), e - ln, e))
+    if overlapping:
+        return occ
+    if kind == "leftmost_first":
+        occ.sort(key=lambda t: (t[1], t[0]))
+    elif kind == "leftmost_longest":
+        occ.sort(key=lambda t: (t[1], t[1] - t[2], t[0]))
+    out: list[tuple[int, int, int]] = []
+    cur = 0
+    for t in occ:
+        if t[1] >= cur:
+            out.append(t)
+            cur = t[2]
+    return out
+
+
 #: occurrence counts above this use the vectorized pointer-doubling sweep.
 _VECTOR_THRESHOLD = 16384
 

@@ -185,10 +185,18 @@ def _verify_body(vtable, classes, hay_pad, fire_pos, n, W, cap2,
     pos_safe = jnp.maximum(fire_pos, 0)
     col = jnp.arange(W, dtype=jnp.int32)[None, :]
     src = pos_safe[:, None] + col
-    # one element-indexed gather [M, W] from the uint8 haystack (widened
-    # after the gather — no O(n) int32 haystack copy); measured 2.5x
-    # faster than the vmap(dynamic_slice) slice-gather lowering here
-    ext = hay_pad[src].astype(jnp.int32)
+    # fire positions are COARSE(16)-aligned, so the window bytes come from
+    # ceil(W/16) *chunk-row* gathers over a [n/16, 16] view — ~13x fewer
+    # HBM fetches than per-element gathers (measured 26ms vs 32ms at
+    # [32k, 26] on 64MB; element gathers were themselves 2.5x faster than
+    # the vmap(dynamic_slice) lowering).  Widening happens after the
+    # gather — no O(n) int32 haystack copy.
+    nchunk = -(-W // 16)
+    h16 = hay_pad.reshape(-1, 16)
+    rows = (pos_safe // 16)[:, None] + jnp.arange(
+        nchunk, dtype=jnp.int32
+    )[None, :]
+    ext = h16[rows].reshape(M, nchunk * 16)[:, :W].astype(jnp.int32)
     invalid = (src >= n) | (fire_pos[:, None] < 0)
     ext = jnp.where(invalid, PAD_BYTE, ext)
     if use_classes:
@@ -259,9 +267,11 @@ def _fire_verify(tables, vtable, classes, hay2d, n, cap, cap2,
     fire_grp, ftotal = compact_sparse(fired, cap)
     fire_pos = jnp.where(fire_grp >= 0, fire_grp * COARSE, -1)
     # trailing zero pad (uint8 can't hold PAD_BYTE): positions >= n are
-    # remapped to PAD_BYTE inside _verify_body after the gather
+    # remapped to PAD_BYTE inside _verify_body after the gather; padded to
+    # a whole number of 16-byte chunks for the chunk-row window gather
+    pad = (-(-W // 16)) * 16
     hay_pad = jnp.concatenate(
-        [hay2d.reshape(-1), jnp.zeros((W,), jnp.uint8)]
+        [hay2d.reshape(-1), jnp.zeros((pad,), jnp.uint8)]
     )
     win, step, st, mtotal = _verify_body(
         vtable, classes, hay_pad, fire_pos, n, W, cap2, use_classes
