@@ -261,20 +261,33 @@ class _MatcherBase:
         import jax
 
         return (
-            self._backend in ("auto", "device")
-            and self._mesh is None  # sharded scan serves meshes instead
+            self._backend in ("auto", "device", "sharded")
             and n >= DEVICE_TIER_MIN
             and jax.default_backend() == "tpu"
         )
 
     def _try_teddy(self, hay: np.ndarray):
         """Return the complete occurrence set via the prefiltered scan, or
-        None when the prefilter is off/unprofitable for this matcher."""
+        None when the prefilter is off/unprofitable for this matcher.
+        Sets ``last_backend``; routes through the data-parallel sharded
+        pipeline when the matcher has a mesh."""
         if not self._teddy_wanted(len(hay)):
             return None
         if self._get_teddy() is None:
             return None
-        occ = self._teddy.occurrences(hay)
+        if self._mesh is not None or self._backend == "sharded":
+            from .parallel import sharded as _sharded
+
+            mesh = self._mesh
+            if mesh is None:
+                mesh = self._mesh = _sharded.make_mesh()
+            occ = _sharded.scan_sharded_teddy(
+                self._automaton, self._teddy, hay, mesh
+            )
+            self._last_backend = "teddy_sharded"
+        else:
+            occ = self._teddy.occurrences(hay)
+            self._last_backend = "teddy"
         if occ is None:
             # observed fire rate too high on this corpus — stop trying
             self._teddy_state = "off"
@@ -420,10 +433,8 @@ class _MatcherBase:
             raise ValueError(_OVERLAPPING_ERROR)
         t0 = time.perf_counter()
         with _trace("ahocorasick:scan"):
-            occ = self._try_teddy(hay)
-            if occ is not None:
-                self._last_backend = "teddy"
-            else:
+            occ = self._try_teddy(hay)  # sets last_backend on success
+            if occ is None:
                 positions, states = self._scan(hay)
                 if len(positions) <= _resolve._SMALL_THRESHOLD:
                     # fused expand+resolve, no numpy dispatch overhead —

@@ -286,6 +286,39 @@ def _bucket(x: int, lo: int = 1024) -> int:
     return b
 
 
+def expand_verified(
+    am: Automaton,
+    ws: np.ndarray,
+    step: np.ndarray,
+    st: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host CSR expansion of verified window matches (unsorted).
+
+    ``ws[i]`` is window ``i``'s (COARSE-aligned) start, ``step[i]`` the
+    0-based walk step whose state ``st[i]`` had matches.  Expands each
+    state's match CSR and keeps only matches whose start lies inside the
+    window's COARSE group — each true occurrence fires at its start, so it
+    is kept by exactly one window.  Shared by the single-chip and sharded
+    prefiltered pipelines.
+    """
+    cnt = am.match_count[st].astype(np.int64)
+    tot = int(cnt.sum())
+    if tot == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z.astype(np.int32), z, z
+    rep = np.repeat(np.arange(len(st)), cnt)
+    csum = np.cumsum(cnt)
+    inner = np.arange(tot, dtype=np.int64) - np.repeat(csum - cnt, cnt)
+    flat_csr = am.match_offsets[st[rep]] + inner
+    pids = am.match_pids[flat_csr]
+    lens = am.match_lens[flat_csr]
+    wsr = ws[rep]
+    ends = wsr + step[rep] + 1
+    starts = ends - lens
+    keep = (starts >= wsr) & (starts < wsr + COARSE)
+    return pids[keep].astype(np.int32), starts[keep], ends[keep]
+
+
 class TeddyScanner:
     """Per-automaton prefiltered scanner (device tables + adaptive state)."""
 
@@ -382,30 +415,8 @@ class TeddyScanner:
         step = step[:mtotal].astype(np.int64)
         st = st[:mtotal].astype(np.int64)
         fire_np = fire_np.astype(np.int64)
-        # Host: CSR-expand candidate states, keep only matches whose start
-        # lies inside the window's COARSE group (each true occurrence fires
-        # at its start, so it is kept by exactly one window).
-        cnt = am.match_count[st].astype(np.int64)
-        tot = int(cnt.sum())
-        if tot == 0:
-            z = np.zeros(0, dtype=np.int64)
-            return z.astype(np.int32), z, z
-        rep = np.repeat(np.arange(len(st)), cnt)
-        csum = np.cumsum(cnt)
-        inner = np.arange(tot, dtype=np.int64) - np.repeat(csum - cnt, cnt)
-        flat_csr = am.match_offsets[st[rep]] + inner
-        pids = am.match_pids[flat_csr]
-        lens = am.match_lens[flat_csr]
-        ws = fire_np[win[rep]]  # window (= group) start
-        ends = ws + step[rep] + 1
-        starts = ends - lens
-        keep = (starts >= ws) & (starts < ws + COARSE)
-        pids = pids[keep]
-        starts = starts[keep]
-        ends = ends[keep]
-        order = np.lexsort((pids, starts, ends))
-        return (
-            pids[order].astype(np.int32),
-            starts[order],
-            ends[order],
+        pids, starts, ends = expand_verified(
+            am, fire_np[win], step, st
         )
+        order = np.lexsort((pids, starts, ends))
+        return pids[order], starts[order], ends[order]

@@ -109,6 +109,198 @@ def _sharded_scan(table, classes, flat_u8, match_count, n, L, T, halo, cap,
     return fn(table, classes, flat_u8, match_count, n)
 
 
+def _shard_teddy_fn(tabs, vtable, classes, flat_u8, n, *, axis, n_dev,
+                    rows, m, words, passes, W, Hr, cap, cap2, use_classes):
+    """Per-device prefiltered body: fire, coarse compact, verify.
+
+    Identical to the single-chip fused pipeline (``ops/scan_teddy.py``)
+    over this shard's bytes, plus ONE collective: verification windows
+    starting in the shard's last ``COARSE`` groups extend up to
+    ``max_len - 1`` bytes into the right neighbour, so each device sends
+    its first ``Hr`` bytes to its left neighbour via ``ppermute``.  A
+    match is owned by the shard containing its *start* (every true
+    occurrence fires at its start), so boundary-spanning matches are
+    verified exactly once and no dedup pass exists.
+    """
+    from ..ops import scan_teddy as _teddy
+
+    LT = rows * 128
+    dev = jax.lax.axis_index(axis).astype(jnp.int32)
+    offset = dev * LT
+    head = flat_u8[:Hr]
+    right = jax.lax.ppermute(
+        head, axis, [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    )
+    right = jnp.where(dev == n_dev - 1, jnp.zeros_like(right), right)
+    h2 = flat_u8.reshape(rows, 128)
+    rows_pp = 2 * m * words
+    mask = None
+    for p in range(passes):
+        sub = jax.lax.slice_in_dim(
+            tabs, p * rows_pp, (p + 1) * rows_pp, axis=0
+        )
+        mp = _teddy.fire_mask(sub, h2, m, words, 1)
+        mask = mp if mask is None else (mask & mp)
+    mask = mask.reshape(-1)
+    G = LT // _teddy.COARSE
+    grp = jnp.max(mask.reshape(G, _teddy.COARSE), axis=1)
+    gidx = jnp.arange(G, dtype=jnp.int32)
+    n_local = n - offset  # shard-local valid byte count (may exceed LT)
+    fired = (grp != 0) & (gidx * _teddy.COARSE < n_local)
+    fire_grp, ftotal = compact_sparse(fired, cap)
+    fire_pos = jnp.where(fire_grp >= 0, fire_grp * _teddy.COARSE, -1)
+    hay_pad = jnp.concatenate(
+        [flat_u8, right, jnp.zeros((16,), jnp.uint8)]
+    )
+    win, step, st, mtotal = _teddy._verify_body(
+        vtable, classes, hay_pad, fire_pos, n_local, W, cap2, use_classes
+    )
+    pos_global = jnp.where(fire_pos >= 0, fire_pos + offset, -1)
+    return (
+        pos_global[None],
+        ftotal[None],
+        win[None],
+        step[None],
+        st[None],
+        mtotal[None],
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "rows", "m", "words", "passes", "W", "Hr", "cap", "cap2",
+        "use_classes", "mesh", "axis",
+    ),
+)
+def _sharded_teddy(tabs, vtable, classes, flat_u8, n, rows, m, words,
+                   passes, W, Hr, cap, cap2, use_classes, mesh, axis):
+    n_dev = mesh.devices.size
+    fn = jax.shard_map(
+        partial(
+            _shard_teddy_fn,
+            axis=axis,
+            n_dev=n_dev,
+            rows=rows,
+            m=m,
+            words=words,
+            passes=passes,
+            W=W,
+            Hr=Hr,
+            cap=cap,
+            cap2=cap2,
+            use_classes=use_classes,
+        ),
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis), P()),
+        out_specs=(P(axis),) * 6,
+        # pallas_call outputs carry no varying-mesh-axes metadata; skip the
+        # vma check (shardings are fully explicit above)
+        check_vma=False,
+    )
+    return fn(tabs, vtable, classes, flat_u8, n)
+
+
+def scan_sharded_teddy(
+    am: Automaton,
+    scanner,
+    hay: np.ndarray,
+    mesh: Mesh,
+    *,
+    axis: str | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """Prefiltered data-parallel scan over ``mesh``.
+
+    Returns the complete (pids, starts, ends) occurrence set in canonical
+    order — identical to ``TeddyScanner.occurrences`` — or None when the
+    observed fire rate says the dense sharded scan should take over.
+    ``scanner`` is the matcher's :class:`~..ops.scan_teddy.TeddyScanner``
+    (tables + sticky capacities are shared with the single-chip path).
+    """
+    from ..ops import scan_teddy as _teddy
+
+    n = len(hay)
+    if n == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z.astype(np.int32), z, z
+    if axis is None:
+        axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    W = am.max_len + _teddy.COARSE - 1
+    Hr = 16 * (-(-W // 16))
+    rows = _bucket(max(-(-n // (n_dev * 128)), 8), lo=8)
+    LT = rows * 128
+    buf = np.zeros(n_dev * LT, dtype=np.uint8)
+    buf[:n] = hay
+    flat_dev = jax.device_put(buf, NamedSharding(mesh, P(axis)))
+    cap, cap2 = scanner.fire_cap, scanner.match_cap
+    too_many = max(1 << 16, n // 2)
+    while True:
+        pos, ftot, win, step, st, mtot = jax.device_get(
+            _sharded_teddy(
+                scanner.tables,
+                scanner.vtable,
+                scanner.classes,
+                flat_dev,
+                jnp.int32(n),
+                rows,
+                scanner.m,
+                scanner.words,
+                scanner.passes,
+                W,
+                Hr,
+                cap,
+                cap2,
+                scanner.use_classes,
+                mesh,
+                axis,
+            )
+        )
+        ftotal = int(ftot.max()) if ftot.size else 0
+        if ftotal > cap:
+            if int(ftot.sum()) * max(W, 1) > too_many:
+                scanner.fire_cap = max(
+                    scanner.fire_cap, _teddy._bucket(ftotal)
+                )
+                scanner.worthwhile = False
+                return None
+            cap = _teddy._bucket(ftotal)
+            continue
+        mtotal = int(mtot.max()) if mtot.size else 0
+        if mtotal > cap2:
+            cap2 = _teddy._bucket(mtotal)
+            continue
+        break
+    scanner.fire_cap = max(1 << 14, _teddy._bucket(max(ftotal, 1)))
+    scanner.match_cap = max(1 << 12, _teddy._bucket(max(mtotal, 1)))
+    if int(ftot.sum()) * max(W, 1) > too_many * max(n_dev // 2, 1):
+        scanner.worthwhile = False
+        return None
+    all_p: list[np.ndarray] = []
+    all_s: list[np.ndarray] = []
+    all_e: list[np.ndarray] = []
+    for d in range(n_dev):
+        mt = int(mtot[d])
+        if not mt:
+            continue
+        ws = pos[d].astype(np.int64)[win[d, :mt].astype(np.int64)]
+        p_, s_, e_ = _teddy.expand_verified(
+            am, ws, step[d, :mt].astype(np.int64),
+            st[d, :mt].astype(np.int64),
+        )
+        all_p.append(p_)
+        all_s.append(s_)
+        all_e.append(e_)
+    if not all_p:
+        z = np.zeros(0, dtype=np.int64)
+        return z.astype(np.int32), z, z
+    pids = np.concatenate(all_p)
+    starts = np.concatenate(all_s)
+    ends = np.concatenate(all_e)
+    order = np.lexsort((pids, starts, ends))
+    return pids[order], starts[order], ends[order]
+
+
 def scan_sharded(
     am: Automaton,
     hay: np.ndarray,

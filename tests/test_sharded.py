@@ -149,6 +149,49 @@ def test_public_api_sharded_bytes() -> None:
     assert ac.find_matches_as_indexes(hay) == ref.find_matches_as_indexes(hay)
 
 
+# ---------------------------------------------------------------------------
+# Prefiltered (Teddy) sharded pipeline: fire+verify per shard, right-halo
+# ppermute for boundary windows, start-position ownership.
+# ---------------------------------------------------------------------------
+
+
+def _teddy_sharded_check(patterns, hay, kind=MatchKind.Standard,
+                         overlapping=False):
+    ac = AhoCorasick(patterns, matchkind=kind, mesh=make_mesh())
+    ac._teddy_state = "force"  # CPU mesh: bypass the tpu-backend gate
+    ref = AhoCorasick(patterns, matchkind=kind, backend="python")
+    got = ac.find_matches_as_indexes(hay, overlapping=overlapping)
+    want = ref.find_matches_as_indexes(hay, overlapping=overlapping)
+    assert got == want
+    assert ac.stats()["last_backend"] == "teddy_sharded"
+
+
+@pytest.mark.parametrize(
+    "kind",
+    [MatchKind.Standard, MatchKind.LeftmostFirst, MatchKind.LeftmostLongest],
+)
+def test_teddy_sharded_all_kinds(kind: MatchKind) -> None:
+    _teddy_sharded_check(_PATTERNS, _corpus(40_000), kind=kind)
+
+
+def test_teddy_sharded_overlapping() -> None:
+    _teddy_sharded_check(_PATTERNS, _corpus(40_000), overlapping=True)
+
+
+def test_teddy_sharded_boundary_straddle() -> None:
+    """Matches spanning shard boundaries: fired by the force-fire zone of
+    the owning shard's last block, verified through the right halo."""
+    pattern = "abcdefghijklmnop"  # 16 bytes: crosses any 16B group
+    n = 8 * 8 * 128  # 8 devices x 8 rows x 128 = one row block each
+    hay = ["."] * n
+    shard = n // 8
+    text = list("." * n)
+    for d in range(1, 8):
+        off = d * shard - 7  # straddles the shard boundary
+        text[off : off + len(pattern)] = pattern
+    _teddy_sharded_check([pattern], "".join(text))
+
+
 def test_public_api_mesh_auto_routes_small_to_host() -> None:
     """mesh= with a tiny haystack stays on the low-latency host tiers."""
     ac = AhoCorasick(_PATTERNS, mesh=make_mesh())
