@@ -132,7 +132,7 @@ class _MatcherBase:
         am = self._automaton
         backend = self._backend
         if backend == "auto":
-            if n < DEVICE_TIER_MIN:
+            if n < DEVICE_TIER_MIN or not self._device_amortized(n):
                 backend = "native" if self._native_ok() else (
                     "python" if n <= PY_TIER_MAX else "numpy"
                 )
@@ -263,6 +263,7 @@ class _MatcherBase:
         return (
             self._backend in ("auto", "device", "sharded")
             and n >= DEVICE_TIER_MIN
+            and (self._backend != "auto" or self._device_amortized(n))
             and jax.default_backend() == "tpu"
         )
 
@@ -292,6 +293,30 @@ class _MatcherBase:
             # observed fire rate too high on this corpus — stop trying
             self._teddy_state = "off"
         return occ
+
+    def _device_amortized(self, n: int) -> bool:
+        """Is the device-table upload already paid for, or worth paying?
+
+        Huge automata (BASELINE config 5: ~10^6 patterns -> ~660 MB classed
+        table) cost far more to stage into HBM than a host scan of a
+        modest haystack costs outright; auto routing therefore stays on
+        the host tiers until this matcher's cumulative scanned bytes (the
+        ``stats()`` counter) plus the current request reach the table
+        size, at which point the upload amortizes.  Forced backends
+        (``backend="device"``) bypass this entirely, and once the tables
+        are resident the device tier is always preferred.
+        """
+        if self._device_tables is not None:
+            return True
+        am = self._automaton
+        if self._implementation is Implementation.DFA:
+            table_bytes = am.num_states * 257 * 4
+        elif self._implementation is Implementation.ContiguousNFA:
+            table_bytes = am.num_states * am.num_classes * 4
+        else:
+            table_bytes = am.edge_keys.nbytes + am.edge_targets.nbytes
+        seen = (self._counters or {}).get("scan_bytes", 0)
+        return seen + n >= table_bytes
 
     def _get_device_tables(self):
         from .ops import scan_jax
@@ -395,7 +420,11 @@ class _MatcherBase:
         backend = self._backend
         total = sum(len(d) for d in docs)
         if backend == "auto":
-            use_device = total >= DEVICE_TIER_MIN and len(docs) > 1
+            use_device = (
+                total >= DEVICE_TIER_MIN
+                and len(docs) > 1
+                and self._device_amortized(total)
+            )
         else:
             use_device = backend == "device"
         use_device = use_device and (

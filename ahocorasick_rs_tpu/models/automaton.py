@@ -96,33 +96,53 @@ class Automaton:
         but with NumPy doing rows in bulk instead of a per-state loop.
         """
         if self._delta is None:
-            S = self.num_states
-            delta = np.zeros((S, 257), dtype=np.int32)
-            e_state = (self.edge_keys // 257).astype(np.int64)
-            e_byte = (self.edge_keys % 257).astype(np.int64)
-            edge_depth = self.depth[e_state]
-            max_d = int(self.depth.max()) if S > 1 else 0
-            states_by_depth = np.argsort(self.depth, kind="stable")
-            level_bounds = np.searchsorted(
-                self.depth[states_by_depth], np.arange(max_d + 2)
-            )
-            edges_by_depth = np.argsort(edge_depth, kind="stable")
-            e_level_bounds = np.searchsorted(
-                edge_depth[edges_by_depth], np.arange(max_d + 2)
-            )
-            for d in range(max_d + 1):
-                if d > 0:
-                    lvl = states_by_depth[
-                        level_bounds[d] : level_bounds[d + 1]
-                    ]
-                    delta[lvl] = delta[self.fail[lvl]]
-                    delta[lvl, PAD_BYTE] = 0
-                sel = edges_by_depth[
-                    e_level_bounds[d] : e_level_bounds[d + 1]
-                ]
-                delta[e_state[sel], e_byte[sel]] = self.edge_targets[sel]
-            self._delta = delta
+            self._delta = self._build_dense(None)
         return self._delta
+
+    def _build_dense(self, classes: Optional[np.ndarray]) -> np.ndarray:
+        """Level-by-level failure-resolved table, optionally in class space.
+
+        With ``classes`` the table is built directly over byte classes —
+        never materialising the full ``[S, 257]`` table (which is ~10x
+        larger and was the construction bottleneck for 10^6-pattern sets:
+        ~6 GB / 2 minutes at 5.9M states vs ~660 MB built directly).
+        Mapping goto edges through ``classes`` is lossless because
+        same-class bytes have identical (src, tgt) edge sets by definition.
+        """
+        S = self.num_states
+        if classes is None:
+            ncols = 257
+            pad_col = PAD_BYTE
+        else:
+            ncols = int(classes.max()) + 1
+            pad_col = int(classes[PAD_BYTE])
+        delta = np.zeros((S, ncols), dtype=np.int32)
+        e_state = (self.edge_keys // 257).astype(np.int64)
+        e_byte = (self.edge_keys % 257).astype(np.int64)
+        if classes is not None:
+            e_byte = classes[e_byte].astype(np.int64)
+        edge_depth = self.depth[e_state]
+        max_d = int(self.depth.max()) if S > 1 else 0
+        states_by_depth = np.argsort(self.depth, kind="stable")
+        level_bounds = np.searchsorted(
+            self.depth[states_by_depth], np.arange(max_d + 2)
+        )
+        edges_by_depth = np.argsort(edge_depth, kind="stable")
+        e_level_bounds = np.searchsorted(
+            edge_depth[edges_by_depth], np.arange(max_d + 2)
+        )
+        for d in range(max_d + 1):
+            if d > 0:
+                lvl = states_by_depth[
+                    level_bounds[d] : level_bounds[d + 1]
+                ]
+                delta[lvl] = delta[self.fail[lvl]]
+                delta[lvl, pad_col] = 0
+            sel = edges_by_depth[
+                e_level_bounds[d] : e_level_bounds[d + 1]
+            ]
+            delta[e_state[sel], e_byte[sel]] = self.edge_targets[sel]
+        return delta
 
     # ------------------------------------------------------------------
     # Byte-class compressed table (Implementation.ContiguousNFA analogue)
@@ -162,14 +182,24 @@ class Automaton:
 
     @property
     def delta_classed(self) -> np.ndarray:
-        """Dense ``int32 [S, num_classes]`` table over byte classes."""
+        """Dense ``int32 [S, num_classes]`` table over byte classes.
+
+        Column-subsets the dense table when it already exists; otherwise
+        builds directly in class space (the low-memory engine must not pay
+        the full table's footprint — its whole contract is less memory).
+        """
         if self._delta_classed is None:
             classes = self.byte_classes
-            # One representative byte per class (padding class maps to the
-            # all-root PAD_BYTE column).
-            reps = np.zeros(self.num_classes, dtype=np.int64)
-            reps[classes] = np.arange(257)
-            self._delta_classed = np.ascontiguousarray(self.delta[:, reps])
+            if self._delta is not None:
+                # One representative byte per class (padding class maps to
+                # the all-root PAD_BYTE column).
+                reps = np.zeros(self.num_classes, dtype=np.int64)
+                reps[classes] = np.arange(257)
+                self._delta_classed = np.ascontiguousarray(
+                    self._delta[:, reps]
+                )
+            else:
+                self._delta_classed = self._build_dense(classes)
         return self._delta_classed
 
     # ------------------------------------------------------------------

@@ -39,6 +39,15 @@ MIN_FINGERPRINT = 3
 MAX_FINGERPRINT = 8
 #: maximum int32 mask planes (32 buckets each)
 MAX_WORDS = 8
+#: no prefilter is attempted above this many patterns: with at most
+#: ``32 * MAX_WORDS`` buckets, >=256 patterns share every bucket and the
+#: per-position nibble sets saturate information-theoretically (bucket
+#: coverage ~ product of near-full nibble fractions — round-1 measurement:
+#: beyond a few thousand random patterns the filter fires on most bytes).
+#: The early-out also keeps construction O(1) in pattern count for huge
+#: sets (building candidate tables for 10^6 patterns costs minutes of
+#: Python for a filter that could never be selective).
+MAX_PATTERNS = 65536
 
 
 @dataclass
@@ -312,7 +321,7 @@ def build_prefilter(patterns: Sequence[bytes]) -> Optional[Prefilter]:
     empty pattern sets.
     """
     P = len(patterns)
-    if P == 0:
+    if P == 0 or P > MAX_PATTERNS:
         return None
     max_len = max(len(p) for p in patterns)
     # target ≈8 patterns per bucket — beyond that the per-position nibble

@@ -92,6 +92,28 @@ def test_match_csr_ordering_within_state() -> None:
     assert lens == sorted(lens, reverse=True)
 
 
+def test_classed_direct_build_equals_column_subset() -> None:
+    """delta_classed built directly in class space (the 10^6-pattern path,
+    which must never materialise the full [S, 257] table) is identical to
+    column-subsetting the dense table."""
+    import random
+
+    rng = random.Random(9)
+    pats = list(
+        {
+            bytes(rng.choice(b"abcd") for _ in range(rng.randint(1, 8)))
+            for _ in range(200)
+        }
+    )
+    am1 = build_automaton(pats)
+    am2 = build_automaton(pats)
+    am1.delta  # dense first: classed comes from column subsetting
+    c1 = am1.delta_classed
+    c2 = am2.delta_classed  # direct classed build
+    assert am2._delta is None
+    np.testing.assert_array_equal(c1, c2)
+
+
 def test_pad_byte_column_is_root() -> None:
     am = build_automaton([b"abc", b"zz"])
     assert (am.delta[:, PAD_BYTE] == 0).all()
