@@ -97,6 +97,15 @@ def auto_budgets() -> tuple[int, int]:
     return _cached_budgets
 
 
+#: hard cap on the auto-selected dense table, independent of HBM: above
+#: this the byte-classed layout scans just as fast on device (the class
+#: map is a 257-entry lookup) while building ~10x faster and fitting host
+#: caches during the upload-amortization window.  Mirrors the reference
+#: crate's economy: it never auto-picks the DFA for large sets
+#: (/root/reference/README.md:173-177 — "exorbitant" memory).
+_DENSE_AUTO_CAP = 128 << 20
+
+
 def select_engine(am: Automaton) -> Implementation:
     """Pick a table layout balancing build time, memory and scan speed.
 
@@ -106,7 +115,7 @@ def select_engine(am: Automaton) -> Implementation:
     blow the budget.
     """
     dense_budget, classed_budget = auto_budgets()
-    if am.num_states * 257 * 4 <= dense_budget:
+    if am.num_states * 257 * 4 <= min(dense_budget, _DENSE_AUTO_CAP):
         return Implementation.DFA
     if am.num_states * am.num_classes * 4 <= classed_budget:
         return Implementation.ContiguousNFA

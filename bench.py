@@ -176,6 +176,35 @@ def bench_scenarios(detail: dict) -> None:
     detail["scenarios"] = out
 
 
+def bench_large_set(detail: dict) -> None:
+    """BASELINE config-5 evidence: a 100k-pattern set end to end.
+
+    Records construction seconds (native builder + engine tables) and the
+    auto-routed scan throughput on a 16MB haystack — huge sets route to
+    the host tiers until the device-table upload amortizes (api.py
+    ``_device_amortized``), so this is the user-visible first-scan number.
+    """
+    from ahocorasick_rs_tpu import BytesAhoCorasick
+
+    rng = np.random.default_rng(99)
+    pats = synth_names(100_000, rng)
+    t0 = time.perf_counter()
+    ac = BytesAhoCorasick(pats)
+    build_s = time.perf_counter() - t0
+    hay = synth_corpus(16 << 20, pats[:1000], rng)
+    data = hay.tobytes()
+    ac.find_matches_as_indexes(data)  # warm
+    t = _time_best(lambda: ac.find_matches_as_indexes(data), reps=2)
+    detail["large_set"] = {
+        "patterns": len(pats),
+        "states": ac.stats()["num_states"],
+        "implementation": ac.stats()["implementation"],
+        "build_seconds": round(build_s, 2),
+        "scan_backend": ac.stats()["last_backend"],
+        "scan_mb_per_s": round(16 * 1024 * 1024 / t / 1e6, 2),
+    }
+
+
 def main() -> None:
     try:
         from ahocorasick_rs_tpu.utils.cache import enable_compilation_cache
@@ -302,6 +331,13 @@ def main() -> None:
         bench_scenarios(detail)
     except Exception:
         detail["scenario_error"] = (
+            traceback.format_exc(limit=1).splitlines()[-1]
+        )
+
+    try:
+        bench_large_set(detail)
+    except Exception:
+        detail["large_set_error"] = (
             traceback.format_exc(limit=1).splitlines()[-1]
         )
 

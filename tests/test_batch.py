@@ -166,6 +166,29 @@ def test_native_batch_classed_engine():
     assert ac.find_matches_as_indexes_batch(DOCS) == want
 
 
+def test_batch_teddy_doc_edges():
+    """Tight COARSE-aligned staging: patterns at exact doc ends, doc
+    lengths on/off 16-byte boundaries, and no cross-padding matches."""
+    pats = ["endx", "xxendx", "aaaa"]
+    docs = [
+        "a" * 12 + "endx",        # len 16, match ends exactly at doc end
+        "b" * 16,                  # exact multiple of 16, no match
+        "endx",                    # the whole doc is the pattern
+        "c" * 29 + "end",          # 'endx' would only match into padding
+        "x" * 3 + "endx" + "y" * 25,
+        "aaaa" * 10,               # overlapping repeats across groups
+    ]
+    ac = AhoCorasick(pats, backend="device")
+    ac._teddy_state = "force"
+    got = ac.find_matches_as_indexes_batch(docs)
+    ref = AhoCorasick(pats, backend="python")
+    want = [ref.find_matches_as_indexes(d) for d in docs]
+    assert got == want
+    got_o = ac.find_matches_as_indexes_batch(docs, overlapping=True)
+    want_o = [ref.find_matches_as_indexes(d, overlapping=True) for d in docs]
+    assert got_o == want_o
+
+
 def test_stats_counters_accumulate():
     """stats() exposes runtime scan counters (SURVEY §5 metrics)."""
     ac = AhoCorasick(PATTERNS)
