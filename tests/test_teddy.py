@@ -129,6 +129,23 @@ def test_tune_picks_a_config_and_stays_exact() -> None:
     assert ac.find_matches_as_indexes(hay) == want
 
 
+def test_prefilter_huge_set_early_out() -> None:
+    """Above MAX_PATTERNS no prefilter is attempted — construction must be
+    O(1) in pattern count (10^6-pattern sets previously paid minutes of
+    Python for a filter that could never be selective)."""
+    import time
+
+    from ahocorasick_rs_tpu.models.prefilter import (
+        MAX_PATTERNS,
+        build_prefilter,
+    )
+
+    pats = [b"%07d" % i for i in range(MAX_PATTERNS + 1)]
+    t0 = time.perf_counter()
+    assert build_prefilter(pats) is None
+    assert time.perf_counter() - t0 < 1.0
+
+
 def test_prefilter_estimates() -> None:
     selective = build_prefilter([b"hello", b"world", b"zebra"])
     dense = build_prefilter([bytes([c]) for c in range(64)])
