@@ -227,15 +227,26 @@ class _MatcherBase:
         return self._native_scanner
 
     # -- prefiltered (Teddy) path --------------------------------------
+    #: persisted/tuned prefilter config {m, words, passes}, or None
+    _pf_config = None
+
     def _get_teddy(self):
         """Build (once) and return the TeddyScanner, or None if unfit."""
         if self._implementation is Implementation.NoncontiguousNFA:
             return None
         if self._teddy is None:
-            from .models.prefilter import build_prefilter
+            from .models.prefilter import (
+                build_prefilter,
+                build_prefilter_config,
+            )
             from .ops.scan_teddy import TeddyScanner
 
-            pf = build_prefilter(self._byte_patterns)
+            if self._pf_config is not None:
+                pf = build_prefilter_config(
+                    self._byte_patterns, **self._pf_config
+                )
+            else:
+                pf = build_prefilter(self._byte_patterns)
             if pf is None or (
                 self._teddy_state == "auto" and pf.est_fire_rate > 0.05
             ):
@@ -557,6 +568,8 @@ class _MatcherBase:
                 "words": pf.words,
                 "passes": pf.passes,
             }
+            # survives save_matcher/load_matcher (rebuilt deterministically)
+            self._pf_config = dict(report["chosen"])
         else:
             report["chosen"] = "none (all candidates fell back)"
         return report

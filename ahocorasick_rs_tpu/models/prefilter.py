@@ -237,6 +237,24 @@ def _build_for(
     return pf
 
 
+def build_prefilter_config(
+    patterns: Sequence[bytes], m: int, words: int, passes: int
+) -> Optional[Prefilter]:
+    """Compile the prefilter for an explicit (m, words, passes) config.
+
+    Used to reinstate a tuned/persisted configuration — tables rebuild
+    deterministically from the pattern set and the three knobs.
+    """
+    P = len(patterns)
+    if P == 0:
+        return None
+    counts = np.bincount(
+        np.frombuffer(b"".join(patterns), dtype=np.uint8), minlength=256
+    ).astype(np.float64)
+    byte_freq = counts / max(counts.sum(), 1.0)
+    return _build_for(patterns, m, words, byte_freq, passes)
+
+
 def build_prefilter_candidates(
     patterns: Sequence[bytes],
 ) -> list[Prefilter]:

@@ -73,6 +73,16 @@ def save_matcher(path: str, matcher) -> None:
         "implementation": matcher._implementation.name,
         "patterns_stored": getattr(matcher, "_patterns", None) is not None,
     }
+    # tuned prefilter config (tune()), rebuilt deterministically on load;
+    # additive key — v2 readers without it keep the auto heuristic
+    if matcher._pf_config is not None:
+        meta["prefilter"] = matcher._pf_config
+    elif matcher._teddy is not None:
+        meta["prefilter"] = {
+            "m": matcher._teddy.m,
+            "words": matcher._teddy.words,
+            "passes": matcher._teddy.passes,
+        }
     am = matcher._automaton
     blob = b"".join(matcher._byte_patterns)
     np.savez_compressed(
@@ -137,6 +147,7 @@ def load_matcher(path: str):
     matcher._teddy = None
     matcher._byte_patterns = byte_patterns
     matcher._teddy_state = "auto"
+    matcher._pf_config = meta.get("prefilter")
     if cls is AhoCorasick:
         matcher._patterns = (
             [p.decode("utf-8") for p in byte_patterns]

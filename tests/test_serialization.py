@@ -107,3 +107,25 @@ def test_matcher_version_checks(tmp_path) -> None:
     np.savez(path, **v1)
     with pytest.raises(ValueError, match="re-save"):
         load_matcher(path)
+
+
+def test_tuned_prefilter_config_roundtrips(tmp_path) -> None:
+    """A tuned (m, words, passes) choice survives save/load — the loaded
+    matcher rebuilds the same prefilter instead of the auto heuristic."""
+    from ahocorasick_rs_tpu import AhoCorasick
+    from ahocorasick_rs_tpu.utils.serialization import (
+        load_matcher,
+        save_matcher,
+    )
+
+    ac = AhoCorasick(["hello", "world", "zebra", "quartz"])
+    ac._pf_config = {"m": 4, "words": 1, "passes": 1}  # as tune() would set
+    path = str(tmp_path / "m.npz")
+    save_matcher(path, ac)
+    loaded = load_matcher(path)
+    assert loaded._pf_config == {"m": 4, "words": 1, "passes": 1}
+    loaded._teddy_state = "force"
+    teddy = loaded._get_teddy()
+    assert (teddy.m, teddy.words, teddy.passes) == (4, 1, 1)
+    got = loaded.find_matches_as_indexes("say hello to the zebra world")
+    assert got == ac.find_matches_as_indexes("say hello to the zebra world")
