@@ -326,6 +326,39 @@ def _model_cost(m: int, words: int, passes: int, est_rate: float,
     return m * words * passes + GATHER_COST_RATIO * verify
 
 
+#: sample size for the saturation screen on large pattern sets
+_SCREEN_SAMPLE = 2048
+#: observed fire rates above this get the prefilter disabled at the API
+#: layer anyway (api.py ``_get_teddy``), so nothing more selective than
+#: this is worth paying a full greedy build to discover
+_SCREEN_RATE = 0.05
+
+
+def _screened_out(
+    patterns: Sequence[bytes],
+    words: int,
+    passes: int,
+    byte_freq: np.ndarray,
+) -> bool:
+    """Cheap saturation screen: can ANY config be selective enough?
+
+    Builds one maximal-selectivity candidate on an evenly-spaced sample
+    whose bucket load matches the full set's (plane count scaled down
+    with the sample), at cost O(sample * buckets * m) — a full greedy
+    build on a hopelessly saturated 20k-pattern set costs ~8s to discover
+    an est_fire_rate the API gate then rejects; the screen finds that out
+    ~20x cheaper.  Clusterable sets pass (an evenly-spaced sample
+    preserves cluster structure, and matched bucket load keeps the
+    estimate comparable).
+    """
+    P = len(patterns)
+    stride = P / _SCREEN_SAMPLE
+    sample = [patterns[int(i * stride)] for i in range(_SCREEN_SAMPLE)]
+    words_s = max(1, round(words * _SCREEN_SAMPLE / P))
+    pf = _build_for(sample, MAX_FINGERPRINT, words_s, byte_freq, passes=1)
+    return pf.est_fire_rate**passes > _SCREEN_RATE
+
+
 def build_prefilter(patterns: Sequence[bytes]) -> Optional[Prefilter]:
     """Compile nibble tables, choosing the fingerprint by a cost model.
 
@@ -355,6 +388,10 @@ def build_prefilter(patterns: Sequence[bytes]) -> Optional[Prefilter]:
         np.frombuffer(b"".join(patterns), dtype=np.uint8), minlength=256
     ).astype(np.float64)
     byte_freq = counts / max(counts.sum(), 1.0)
+    if P > _SCREEN_SAMPLE and _screened_out(
+        patterns, words, passes, byte_freq
+    ):
+        return None
     best: Optional[Prefilter] = None
     best_cost = float("inf")
     rising = 0
