@@ -199,18 +199,42 @@ def _build_for(
         ]
     )
 
+    # [P, m] fingerprint bytes (-1 beyond pattern length), built without a
+    # per-(pattern, position) Python loop — construction cost matters for
+    # tens of thousands of patterns
+    lens = np.fromiter(
+        (min(len(p), m) for p in patterns), np.int64, count=P
+    )
+    blob = np.frombuffer(
+        b"".join(p[:m] for p in patterns), dtype=np.uint8
+    ).astype(np.int32)
+    offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    col = np.arange(m, dtype=np.int64)[None, :]
+    valid = col < lens[:, None]
+    pmat = np.full((P, m), -1, np.int32)
+    pmat[valid] = blob[
+        (offs[:, None] + np.minimum(col, lens[:, None] - 1))[valid]
+    ]
     tables = np.zeros((passes, m, 2, words, 128), dtype=np.uint32)
     for ps in range(passes):
-        for pid, p in enumerate(patterns):
-            b = int(bucket_of[ps, pid])
-            w, bit = b // 32, np.uint32(1) << np.uint32(b % 32)
-            for k in range(m):
-                if k < len(p):
-                    tables[ps, k, 0, w, p[k] & 15] |= bit
-                    tables[ps, k, 1, w, p[k] >> 4] |= bit
-                else:
-                    tables[ps, k, 0, w, 0:16] |= bit
-                    tables[ps, k, 1, w, 0:16] |= bit
+        w = bucket_of[ps] // 32
+        bit = np.uint32(1) << (bucket_of[ps] % 32).astype(np.uint32)
+        for k in range(m):
+            v = pmat[:, k] >= 0
+            np.bitwise_or.at(
+                tables[ps, k, 0], (w[v], pmat[v, k] & 15), bit[v]
+            )
+            np.bitwise_or.at(
+                tables[ps, k, 1], (w[v], pmat[v, k] >> 4), bit[v]
+            )
+            if not v.all():
+                # shorter patterns leave the position unconstrained
+                np.bitwise_or.at(
+                    tables[ps, k, 0][:, :16], (w[~v],), bit[~v, None]
+                )
+                np.bitwise_or.at(
+                    tables[ps, k, 1][:, :16], (w[~v],), bit[~v, None]
+                )
 
     pf = Prefilter(
         m=m,
