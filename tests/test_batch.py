@@ -189,6 +189,59 @@ def test_batch_teddy_doc_edges():
     assert got_o == want_o
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYPOTHESIS = False
+
+
+if _HAVE_HYPOTHESIS:
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        docs=st.lists(
+            st.text(alphabet="abc ", min_size=0, max_size=60),
+            min_size=0,
+            max_size=20,
+        ),
+        kind=st.sampled_from(
+            [
+                MatchKind.Standard,
+                MatchKind.LeftmostFirst,
+                MatchKind.LeftmostLongest,
+            ]
+        ),
+        backend=st.sampled_from(["auto", "device"]),
+    )
+    def test_batch_equals_loop_property(docs, kind, backend):
+        """The global-resolve batch pipeline == the per-doc loop, for any
+        document mix (empty docs, boundary-adjacent matches, repeats)."""
+        pats = ["a", "ab", "abc", "ca b", "bb"]
+        ac = AhoCorasick(pats, matchkind=kind, backend=backend)
+        want = [ac.find_matches_as_indexes(d) for d in docs]
+        assert ac.find_matches_as_indexes_batch(docs) == want
+        if kind is MatchKind.Standard:
+            want_o = [
+                ac.find_matches_as_indexes(d, overlapping=True)
+                for d in docs
+            ]
+            got_o = ac.find_matches_as_indexes_batch(
+                docs, overlapping=True
+            )
+            assert got_o == want_o
+
+
+def test_batch_memoryview_inputs():
+    pats = [b"ab", b"\x00"]
+    docs = [memoryview(b"xxabx"), bytearray(b"\x00ab"), b""]
+    ac = BytesAhoCorasick(pats)
+    want = [ac.find_matches_as_indexes(d) for d in docs]
+    assert ac.find_matches_as_indexes_batch(docs) == want
+
+
 def test_stats_counters_accumulate():
     """stats() exposes runtime scan counters (SURVEY §5 metrics)."""
     ac = AhoCorasick(PATTERNS)
