@@ -189,22 +189,25 @@ class _MatcherBase:
     _native_scanner = None
 
     def _native_ok(self) -> bool:
-        """Native host scan usable for this matcher's engine? (cached —
-        the availability probe costs a lock + module lookup per call)"""
+        """Native host scan usable for this matcher's engine?
+
+        Library availability is cached (the probe costs a lock + module
+        lookup per call); the sparse engine's table condition is re-checked
+        every time — a classed table materialized after the first scan
+        must make the native walk eligible, not stay latched out.
+        """
         ok = self._native_ok_cache
         if ok is None:
             from .models import native as _native
 
-            if not _native.available():
-                ok = False
-            elif self._implementation is Implementation.NoncontiguousNFA:
-                # honor the sparse engine's low-memory contract: only use
-                # the native walk if a dense/classed table already exists
-                ok = self._automaton._delta_classed is not None
-            else:
-                ok = True
-            self._native_ok_cache = ok
-        return ok
+            ok = self._native_ok_cache = _native.available()
+        if not ok:
+            return False
+        if self._implementation is Implementation.NoncontiguousNFA:
+            # honor the sparse engine's low-memory contract: only use the
+            # native walk if a dense/classed table already exists
+            return self._automaton._delta_classed is not None
+        return True
 
     def _get_native_scanner(self):
         """Per-matcher native scanner (cached table pointers + buffers)."""
@@ -348,13 +351,14 @@ class _MatcherBase:
         """Flat multi-document occurrence set from one device dispatch.
 
         The documents share a zero-padded ``[B, T]`` layout (one lane per
-        document, ``T`` a power of two).  The prefiltered pipeline runs
-        over the flattened buffer — lanes never share a COARSE group since
-        ``T % COARSE == 0`` — and matches are filtered to their owning
-        document's byte range, so cross-document false matches (spanning
-        padding into the next lane) are impossible.  Returns
-        ``(pids, starts, ends, offsets)`` in the flat coordinate space
-        ``resolve_batch`` consumes (document ``i`` at ``[i*T, i*T+len)``).
+        document).  ``T`` is tight (COARSE-aligned) on the prefiltered
+        path and a power of two on the dense path — see the per-branch
+        comments.  Lanes never share a COARSE group since ``T % COARSE ==
+        0``, and matches are filtered to their owning document's byte
+        range, so cross-document false matches (spanning padding into the
+        next lane) are impossible.  Returns ``(pids, starts, ends,
+        offsets)`` in the flat coordinate space ``resolve_batch`` consumes
+        (document ``i`` at ``[i*T, i*T+len)``).
         """
         from .ops import scan_jax
 

@@ -169,10 +169,12 @@ def _verify_body(vtable, classes, hay_pad, fire_pos, n, W, cap2,
     Two gather-killers versus the naive formulation (each was ~130ms/64MB
     on this fabric):
 
-    * window bytes come from ONE sliced gather (``vmap(dynamic_slice)``
-      lowers to a gather with ``slice_sizes=(W,)``), not W independent
-      row gathers — ``hay_pad`` carries ``W`` trailing PAD_BYTEs so no
-      slice ever clamps;
+    * window bytes come from ceil(W/16) chunk-row gathers over a
+      ``[n/16, 16]`` view of ``hay_pad`` (fire positions are
+      COARSE-aligned, so chunks line up); ``hay_pad`` carries zero-byte
+      tail padding (uint8 cannot hold PAD_BYTE) and any position >= ``n``
+      is remapped to PAD_BYTE *after* the gather via the ``invalid``
+      mask, so the padding bytes themselves are never trusted;
     * ``vtable`` packs ``has_match`` into bit FLAG_SHIFT of every
       transition (see :class:`TeddyScanner`), so the per-step scan gather
       yields the match flag for free and no ``match_count[states]`` gather

@@ -228,7 +228,16 @@ def scan_sharded_teddy(
     n_dev = mesh.devices.size
     W = am.max_len + _teddy.COARSE - 1
     Hr = 16 * (-(-W // 16))
-    rows = _bucket(max(-(-n // (n_dev * 128)), 8), lo=8)
+    # Each shard must hold at least the right-halo length: the halo comes
+    # from ONE ppermute hop, so verification windows may reach at most one
+    # shard to the right.  LT >= Hr guarantees a window starting anywhere
+    # in a shard ends within (shard + halo) — without this floor a pattern
+    # longer than n/n_dev bytes would be silently unfindable across
+    # boundaries (same role as the dense path's `T = _bucket(max(...,
+    # halo, 16))`).
+    rows = _bucket(
+        max(-(-n // (n_dev * 128)), -(-Hr // 128), 8), lo=8
+    )
     LT = rows * 128
     buf = np.zeros(n_dev * LT, dtype=np.uint8)
     buf[:n] = hay
@@ -273,7 +282,9 @@ def scan_sharded_teddy(
         break
     scanner.fire_cap = max(1 << 14, _teddy._bucket(max(ftotal, 1)))
     scanner.match_cap = max(1 << 12, _teddy._bucket(max(mtotal, 1)))
-    if int(ftot.sum()) * max(W, 1) > too_many * max(n_dev // 2, 1):
+    # same threshold as the in-loop overflow abandon above — the backend
+    # choice must depend on the corpus, not on incidental cap history
+    if int(ftot.sum()) * max(W, 1) > too_many:
         scanner.worthwhile = False
         return None
     all_p: list[np.ndarray] = []

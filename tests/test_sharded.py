@@ -192,6 +192,19 @@ def test_teddy_sharded_boundary_straddle() -> None:
     _teddy_sharded_check([pattern], "".join(text))
 
 
+def test_teddy_sharded_pattern_longer_than_shard() -> None:
+    """A pattern longer than n/n_dev bytes: the shard size must grow to at
+    least the halo length or boundary-spanning matches are unfindable
+    (regression: the right-halo slice clamped to the shard length)."""
+    import random as _r
+
+    rng = _r.Random(3)
+    pattern = "".join(rng.choice("ab") for _ in range(3000))
+    text = list("." * 8192)
+    text[1548 : 1548 + len(pattern)] = pattern  # spans several 1KB shards
+    _teddy_sharded_check([pattern], "".join(text))
+
+
 def test_public_api_mesh_auto_routes_small_to_host() -> None:
     """mesh= with a tiny haystack stays on the low-latency host tiers."""
     ac = AhoCorasick(_PATTERNS, mesh=make_mesh())
