@@ -266,9 +266,13 @@ class _MatcherBase:
             )
         return self._teddy
 
+    #: prefiltered pipelines address positions as int32 and do not segment
+    #: (unlike scan_device); larger inputs use the dense/segmented tiers
+    _TEDDY_MAX_BYTES = (1 << 31) - (1 << 24)
+
     def _teddy_wanted(self, n: int) -> bool:
         """Should the prefiltered device pipeline serve ``n`` bytes?"""
-        if self._teddy_state == "off":
+        if self._teddy_state == "off" or n > self._TEDDY_MAX_BYTES:
             return False
         if self._teddy_state == "force":
             return True
