@@ -256,3 +256,32 @@ def test_stats_counters_accumulate():
     assert s["scan_bytes_per_second"] > 0
     assert s["last_backend"] is not None
     assert s["implementation"] == "DFA"
+
+
+def test_auto_routing_amortizes_table_upload():
+    """auto keeps big-table matchers on the host until cumulative scanned
+    bytes reach the table size, then switches to the device tier."""
+    import string
+
+    rng = np.random.default_rng(2)
+    letters = np.frombuffer(string.ascii_lowercase.encode(), np.uint8)
+    pats = set()
+    while len(pats) < 800:
+        pats.add(bytes(letters[rng.integers(0, 26, 8)]).decode())
+    ac = AhoCorasick(sorted(pats))
+    table_bytes = ac.stats()["num_states"] * 257 * 4
+    hay = bytes(letters[rng.integers(0, 26, 3 << 20)]).decode()
+    want = ac.find_matches_as_indexes(hay)
+    seen = len(hay)
+    backends = [ac.stats()["last_backend"]]
+    for _ in range(6):
+        got = ac.find_matches_as_indexes(hay)
+        assert got == want
+        expect_device = seen + len(hay) >= table_bytes
+        seen += len(hay)
+        backends.append(ac.stats()["last_backend"])
+        if expect_device:
+            break
+    # host tiers first, device (or its teddy variant) once amortized
+    assert backends[0] in ("native", "numpy")
+    assert backends[-1] in ("device", "teddy", "teddy_sharded")
