@@ -26,10 +26,24 @@ engine instead of the reference's per-kind automata).
 
 from __future__ import annotations
 
+import sys
 import time
-from typing import Iterable, Optional
+from typing import TYPE_CHECKING, Iterable, Optional
 
 import numpy as np
+
+if TYPE_CHECKING:  # typing-only: jax & friends stay lazy at runtime
+    from jax.profiler import TraceAnnotation
+    from jax.sharding import Mesh
+
+    from .models.native import DenseScanner
+    from .ops.scan_jax import DeviceTables
+    from .ops.scan_teddy import TeddyScanner
+
+    if sys.version_info >= (3, 12):
+        from collections.abc import Buffer
+    else:
+        from typing_extensions import Buffer
 
 from .models.automaton import Automaton, build_automaton
 from .models.engine import Implementation, MatchKind, select_engine
@@ -47,13 +61,53 @@ DEVICE_TIER_MIN = 1 << 21
 #: (reference heuristic, /root/reference/src/lib.rs:164-184).
 STORE_PATTERNS_THRESHOLD = 4096
 
+#: per-dispatch staged-byte budget for the device batch path.  The batch
+#: kernels stage a zero-padded ``[B, T]`` buffer with ``T`` = longest
+#: document (aligned); a length-skewed batch is split into groups so the
+#: padding can never blow the staged buffer past this budget — and, a
+#: fortiori, past the int32 position arithmetic of the compaction kernels.
+BATCH_STAGE_BYTES = 128 << 20
+#: grouping pads a document to at most this factor of its own length
+#: (plus alignment) — bounds per-document staging waste under skew.
+_BATCH_WASTE = 4
+
+
+def _plan_batch_groups(lens: list[int]) -> list[list[int]]:
+    """Partition batch indexes into device-dispatch groups.
+
+    Groups are built in descending length order, so each group's ``T`` is
+    its first member's length: a group closes when adding a document would
+    either exceed :data:`BATCH_STAGE_BYTES` of staged bytes or pad the
+    document beyond :data:`_BATCH_WASTE` x its own length.  A uniform
+    batch that fits the budget comes back as one group.
+    """
+    order = sorted(range(len(lens)), key=lambda i: -lens[i])
+    groups: list[list[int]] = []
+    cur: list[int] = []
+    curT = 16
+    for i in order:
+        ln = max(lens[i], 1)
+        if cur and (
+            ln * _BATCH_WASTE < curT
+            or (len(cur) + 1) * curT > BATCH_STAGE_BYTES
+        ):
+            groups.append(cur)
+            cur = []
+        if not cur:
+            curT = max(ln, 16)
+        cur.append(i)
+    if cur:
+        groups.append(cur)
+    return groups
+
+
 _OVERLAPPING_ERROR = (
     "search failed: overlapping searches require MatchKind.Standard "
     "(the automaton was built with a leftmost match kind)"
 )
 
 
-def _trace(name: str):
+def _trace(name: str) -> "TraceAnnotation":
     """``jax.profiler.TraceAnnotation`` span (SURVEY.md §5 tracing plan).
 
     Spans show up in xprof/perfetto traces captured with
@@ -209,7 +263,7 @@ class _MatcherBase:
             return self._automaton._delta_classed is not None
         return True
 
-    def _get_native_scanner(self):
+    def _get_native_scanner(self) -> "DenseScanner":
         """Per-matcher native scanner (cached table pointers + buffers)."""
         if self._native_scanner is None:
             from .models import native as _native
@@ -233,7 +287,7 @@ class _MatcherBase:
     #: persisted/tuned prefilter config {m, words, passes}, or None
     _pf_config = None
 
-    def _get_teddy(self):
+    def _get_teddy(self) -> Optional[TeddyScanner]:
         """Build (once) and return the TeddyScanner, or None if unfit."""
         if self._implementation is Implementation.NoncontiguousNFA:
             return None
@@ -285,7 +339,9 @@ class _MatcherBase:
             and jax.default_backend() == "tpu"
         )
 
-    def _try_teddy(self, hay: np.ndarray):
+    def _try_teddy(
+        self, hay: np.ndarray
+    ) -> Optional[tuple[np.ndarray, np.ndarray, np.ndarray]]:
         """Return the complete occurrence set via the prefiltered scan, or
         None when the prefilter is off/unprofitable for this matcher.
         Sets ``last_backend``; routes through the data-parallel sharded
@@ -336,7 +392,7 @@ class _MatcherBase:
         seen = (self._counters or {}).get("scan_bytes", 0)
         return seen + n >= table_bytes
 
-    def _get_device_tables(self):
+    def _get_device_tables(self) -> "DeviceTables":
         from .ops import scan_jax
 
         if self._device_tables is None:
@@ -351,7 +407,18 @@ class _MatcherBase:
         return self._device_tables
 
     # -- batched many-small-haystack path ------------------------------
-    def _batch_occurrences(self, docs: list):
+    def _mesh_wanted(self) -> bool:
+        """Route device-tier work through the mesh?  Mirrors the
+        single-document tier logic: an explicit ``backend="sharded"``
+        always shards; ``auto`` shards when the matcher was given a mesh;
+        an explicit ``backend="device"`` stays single-chip."""
+        return self._backend == "sharded" or (
+            self._backend == "auto" and self._mesh is not None
+        )
+
+    def _batch_occurrences(
+        self, docs: list[np.ndarray]
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
         """Flat multi-document occurrence set from one device dispatch.
 
         The documents share a zero-padded ``[B, T]`` layout (one lane per
@@ -372,41 +439,81 @@ class _MatcherBase:
         total = sum(len(d) for d in docs)
         occ = None
         T = 0
-        if self._teddy_wanted(total) and self._get_teddy() is not None:
-            # Lanes only need COARSE alignment here (the fire kernel's
-            # compile shapes depend on the row count, which stage()
-            # buckets separately), so a tight T keeps the staged buffer —
-            # and the host->device transfer — near sum(len) instead of a
-            # power-of-two blowup.
-            from .ops.scan_teddy import COARSE
+        # Lanes only need COARSE alignment here (the fire kernel's
+        # compile shapes depend on the row count, which stage()
+        # buckets separately), so a tight T keeps the staged buffer —
+        # and the host->device transfer — near sum(len) instead of a
+        # power-of-two blowup.
+        from .ops.scan_teddy import COARSE
 
-            T = -(-max(longest, 1) // COARSE) * COARSE
+        T_teddy = -(-max(longest, 1) // COARSE) * COARSE
+        # The size gate is on the STAGED bytes B*T, not sum(len): under
+        # document-length skew the padded buffer is what the fire kernel
+        # and the int32 position arithmetic actually see (the single-doc
+        # path's >2GB guard, applied to the batch layout).
+        if (
+            B * T_teddy <= self._TEDDY_MAX_BYTES
+            and self._teddy_wanted(total)
+            and self._get_teddy() is not None
+        ):
+            T = T_teddy
             buf = np.zeros(B * T, dtype=np.uint8)
             lens = np.zeros(max(B, 1), dtype=np.int64)
             for i, d in enumerate(docs):
                 buf[i * T : i * T + len(d)] = d
                 lens[i] = len(d)
-            occ = self._teddy.occurrences(buf)
+            if self._mesh_wanted():
+                # the staged flat buffer IS a haystack (padding can only
+                # over-fire, never match: matches are filtered to their
+                # owning document below), so the batched prefiltered scan
+                # shards it across the mesh like any other corpus
+                from .parallel import sharded as _sharded
+
+                mesh = self._mesh
+                if mesh is None:
+                    mesh = self._mesh = _sharded.make_mesh()
+                occ = _sharded.scan_sharded_teddy(
+                    self._automaton, self._teddy, buf, mesh
+                )
+                batch_backend = "teddy_sharded_batch"
+            else:
+                occ = self._teddy.occurrences(buf)
+                batch_backend = "teddy_batch"
             if occ is None:
                 self._teddy_state = "off"
         if occ is not None:
-            self._last_backend = "teddy_batch"
+            self._last_backend = batch_backend
             pids, starts, ends = occ
             lane = starts // T
             keep = (lane < B) & (ends <= lane * T + lens[lane])
             pids, starts, ends = pids[keep], starts[keep], ends[keep]
         else:
             # dense batch path: T is a power of two there (its kernel
-            # shapes ARE [B, T], so bucketing buys compile reuse)
-            pos, st, T = scan_jax.scan_device_batch(
-                am, docs, self._get_device_tables()
-            )
-            self._last_backend = "device_batch"
+            # shapes ARE [B, T], so bucketing buys compile reuse).  With a
+            # mesh, document rows shard across devices (no halo — every
+            # document starts at the root).
+            if self._mesh_wanted():
+                from .parallel import sharded as _sharded
+
+                mesh = self._mesh
+                if mesh is None:
+                    mesh = self._mesh = _sharded.make_mesh()
+                pos, st, T = _sharded.scan_sharded_batch(
+                    am, docs, self._get_device_tables(), mesh
+                )
+                self._last_backend = "sharded_batch"
+            else:
+                pos, st, T = scan_jax.scan_device_batch(
+                    am, docs, self._get_device_tables()
+                )
+                self._last_backend = "device_batch"
             pids, starts, ends = _resolve.expand_occurrences(am, pos, st)
         offsets = np.arange(B + 1, dtype=np.int64) * T
         return pids, starts, ends, offsets
 
-    def _native_batch_occurrences(self, docs: list):
+    def _native_batch_occurrences(
+        self, docs: list[np.ndarray]
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
         """Flat occurrence set from ONE native foreign call over the
         concatenated documents (GIL released for the whole batch)."""
         from .models import native as _native
@@ -432,7 +539,7 @@ class _MatcherBase:
         return pids, starts, ends, offsets
 
     def _find_batch(
-        self, docs: list, overlapping: bool
+        self, docs: list[np.ndarray], overlapping: bool
     ) -> list[list[tuple[int, int, int]]]:
         if overlapping and self._matchkind is not MatchKind.Standard:
             raise ValueError(_OVERLAPPING_ERROR)
@@ -445,7 +552,7 @@ class _MatcherBase:
                 and self._device_amortized(total)
             )
         else:
-            use_device = backend == "device"
+            use_device = backend in ("device", "sharded")
         use_device = use_device and (
             self._implementation is not Implementation.NoncontiguousNFA
         )
@@ -459,6 +566,44 @@ class _MatcherBase:
             return [self._find(d, overlapping) for d in docs]
         kind = self._matchkind.value
         t0 = time.perf_counter()
+        if use_device:
+            groups = _plan_batch_groups([len(d) for d in docs])
+            if len(groups) > 1:
+                # Length-skewed batch: per-group dispatches keep the
+                # staged [B, T] buffer within BATCH_STAGE_BYTES (see
+                # _plan_batch_groups); per-document results scatter back
+                # to the caller's order.
+                out_sk: list[list[tuple[int, int, int]]] = [
+                    [] for _ in docs
+                ]
+                counted = total
+                for idxs in groups:
+                    if (
+                        len(idxs) == 1
+                        and len(docs[idxs[0]]) > BATCH_STAGE_BYTES
+                    ):
+                        # over-budget single document: the streaming
+                        # single-doc path segments it (and counts its own
+                        # bytes in the scan counters)
+                        counted -= len(docs[idxs[0]])
+                        out_sk[idxs[0]] = self._find(
+                            docs[idxs[0]], overlapping
+                        )
+                        continue
+                    sub = [docs[i] for i in idxs]
+                    with _trace("ahocorasick:scan_batch"):
+                        pids, starts, ends, offsets = (
+                            self._batch_occurrences(sub)
+                        )
+                    with _trace("ahocorasick:resolve"):
+                        res = _resolve.resolve_batch(
+                            pids, starts, ends, offsets,
+                            kind=kind, overlapping=overlapping,
+                        )
+                    for i, r in zip(idxs, res):
+                        out_sk[i] = r
+                self._note_scan(counted, time.perf_counter() - t0)
+                return out_sk
         with _trace("ahocorasick:scan_batch"):
             if use_device:
                 pids, starts, ends, offsets = self._batch_occurrences(docs)
@@ -512,7 +657,7 @@ class _MatcherBase:
         return out
 
     # -- measured-time prefilter tuning --------------------------------
-    def tune(self, sample) -> dict:
+    def tune(self, sample: "str | Buffer") -> dict:
         """Pick the fastest prefilter configuration by measured wall time.
 
         TPU extra: times each candidate (plane-count / pass-count
@@ -552,9 +697,15 @@ class _MatcherBase:
             if scanner.occurrences(hay, hay2d=hay2d) is None:
                 seconds = float("inf")  # pathological fire rate
             else:
-                t0 = time.perf_counter()
-                scanner.occurrences(hay, hay2d=hay2d)
-                seconds = time.perf_counter() - t0
+                # best-of-3: per-dispatch RTT on this fabric swings by
+                # orders of magnitude (PERF_NOTES.md), and a single
+                # outlier would permanently pick a slow config that then
+                # persists through save_matcher
+                seconds = float("inf")
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    scanner.occurrences(hay, hay2d=hay2d)
+                    seconds = min(seconds, time.perf_counter() - t0)
             entry = {
                 "m": pf.m,
                 "words": pf.words,
@@ -630,7 +781,7 @@ class AhoCorasick(_MatcherBase):
         implementation: Optional[Implementation] = None,
         *,
         backend: str = "auto",
-        mesh=None,
+        mesh: Optional[Mesh] = None,
     ) -> None:
         byte_patterns: list[bytes] = []
         originals: list[str] = []
@@ -759,12 +910,12 @@ class BytesAhoCorasick(_MatcherBase):
 
     def __init__(
         self,
-        patterns: Iterable,
+        patterns: "Iterable[Buffer]",
         matchkind: MatchKind = MatchKind.Standard,
         implementation: Optional[Implementation] = None,
         *,
         backend: str = "auto",
-        mesh=None,
+        mesh: Optional[Mesh] = None,
     ) -> None:
         byte_patterns: list[bytes] = []
         for p in patterns:
@@ -777,14 +928,14 @@ class BytesAhoCorasick(_MatcherBase):
         self._build(byte_patterns, matchkind, implementation)
 
     def find_matches_as_indexes(
-        self, haystack, overlapping: bool = False
+        self, haystack: "Buffer", overlapping: bool = False
     ) -> list[tuple[int, int, int]]:
         """All matches as ``(pattern_index, start, end)`` byte tuples."""
         hay = as_byte_view(haystack)
         return self._find(hay, overlapping)
 
     def find_matches_as_indexes_batch(
-        self, haystacks: Iterable, overlapping: bool = False
+        self, haystacks: "Iterable[Buffer]", overlapping: bool = False
     ) -> list[list[tuple[int, int, int]]]:
         """Batched :meth:`find_matches_as_indexes` (TPU extra).
 

@@ -173,7 +173,12 @@ class DenseScanner:
     CDLL handle whose prototypes take raw pointers.
     """
 
-    def __init__(self, delta, match_count, classes=None):
+    def __init__(
+        self,
+        delta: np.ndarray,
+        match_count: np.ndarray,
+        classes: Optional[np.ndarray] = None,
+    ) -> None:
         lib = _load_raw()
         assert lib is not None
         self._lib = lib
@@ -191,7 +196,7 @@ class DenseScanner:
             self._cp = None
         self._tl = threading.local()
 
-    def _buffers(self, cap: int):
+    def _buffers(self, cap: int) -> tuple[np.ndarray, np.ndarray]:
         bufs = getattr(self._tl, "bufs", None)
         if bufs is None or bufs[0].shape[0] < cap:
             bufs = (np.empty(cap, np.int64), np.empty(cap, np.int32))
@@ -201,7 +206,7 @@ class DenseScanner:
     def scan(self, hay: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """Matched (positions, states); output arrays are fresh copies."""
         n = len(hay)
-        if n == 0 or not hay.flags["C_CONTIGUOUS"]:
+        if n == 0 or not hay.flags["C_CONTIGUOUS"] or hay.dtype != np.uint8:
             hay = np.ascontiguousarray(hay, dtype=np.uint8)
         hp = ctypes.c_void_p(hay.ctypes.data if n else 0)
         cap = 1024

@@ -68,8 +68,8 @@ _SMALL_THRESHOLD = 64
 
 def resolve_from_scan_small(
     am: Automaton,
-    positions,
-    states,
+    positions: np.ndarray,
+    states: np.ndarray,
     kind: str,
     overlapping: bool,
 ) -> list[tuple[int, int, int]]:

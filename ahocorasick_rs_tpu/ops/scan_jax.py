@@ -46,7 +46,9 @@ MAX_LANES = 1 << 16
 SEGMENT_BYTES = 256 << 20
 
 
-def build_lanes(flat: jnp.ndarray, L: int, T: int, halo: int, n) -> jnp.ndarray:
+def build_lanes(
+    flat: jax.Array, L: int, T: int, halo: int, n: jax.Array | int
+) -> jax.Array:
     """In-jit halo'd lane construction from a flat int32 byte stream.
 
     ``flat`` has length ``L*T``; positions >= ``n`` are forced to
@@ -62,10 +64,12 @@ def build_lanes(flat: jnp.ndarray, L: int, T: int, halo: int, n) -> jnp.ndarray:
     return jnp.concatenate([halos, flat.reshape(L, T)], axis=1)
 
 
-def scan_lanes(table: jnp.ndarray, ext: jnp.ndarray, halo: int):
+def scan_lanes(table: jax.Array, ext: jax.Array, halo: int) -> jax.Array:
     """Advance all lanes over ``ext``; returns the state stream ``[L, T]``."""
 
-    def body(states, col):
+    def body(
+        states: jax.Array, col: jax.Array
+    ) -> tuple[jax.Array, jax.Array]:
         states = table[states, col]
         return states, states
 
@@ -82,8 +86,8 @@ def scan_lanes(table: jnp.ndarray, ext: jnp.ndarray, halo: int):
 COMPACT_BLOCK = 512
 
 
-def compact_sparse(mask: jnp.ndarray, cap: int,
-                   block: int = COMPACT_BLOCK) -> tuple:
+def compact_sparse(mask: jax.Array, cap: int,
+                   block: int = COMPACT_BLOCK) -> tuple[jax.Array, jax.Array]:
     """Ascending indexes of the True elements of a rare boolean mask.
 
     The direct ``jnp.nonzero(size=cap)`` lowering is top_k-like and costs
@@ -134,8 +138,18 @@ def compact_sparse(mask: jnp.ndarray, cap: int,
     jax.jit,
     static_argnames=("L", "T", "halo", "cap", "use_classes"),
 )
-def _scan_compact(table, classes, hay, match_count, n, L, T, halo, cap,
-                  use_classes):
+def _scan_compact(
+    table: jax.Array,
+    classes: jax.Array,
+    hay: jax.Array,
+    match_count: jax.Array,
+    n: jax.Array,
+    L: int,
+    T: int,
+    halo: int,
+    cap: int,
+    use_classes: bool,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
     """uint8 haystack [L*T] → compacted (positions[cap], states[cap], total)."""
     flat = hay.astype(jnp.int32)
     if use_classes:
@@ -158,8 +172,15 @@ def _scan_compact(table, classes, hay, match_count, n, L, T, halo, cap,
 
 
 @partial(jax.jit, static_argnames=("cap", "use_classes"))
-def _scan_batch_compact(table, classes, hay2d, lens, match_count, cap,
-                        use_classes):
+def _scan_batch_compact(
+    table: jax.Array,
+    classes: jax.Array,
+    hay2d: jax.Array,
+    lens: jax.Array,
+    match_count: jax.Array,
+    cap: int,
+    use_classes: bool,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Batched scan: one document per lane, no halo (each starts at root).
 
     ``hay2d`` is uint8 ``[B, T]`` (zero-padded documents), ``lens`` int32
@@ -175,7 +196,9 @@ def _scan_batch_compact(table, classes, hay2d, lens, match_count, cap,
     if use_classes:
         ext = classes[ext]
 
-    def body(states, c):
+    def body(
+        states: jax.Array, c: jax.Array
+    ) -> tuple[jax.Array, jax.Array]:
         states = table[states, c]
         return states, states
 
@@ -240,7 +263,17 @@ PACKED2_MAX_BYTES = 256 << 20
 
 
 @partial(jax.jit, static_argnames=("L", "T", "halo", "cap"))
-def _scan_compact2(packed2, table_classed, classes, hay, n, L, T, halo, cap):
+def _scan_compact2(
+    packed2: jax.Array,
+    table_classed: jax.Array,
+    classes: jax.Array,
+    hay: jax.Array,
+    n: jax.Array,
+    L: int,
+    T: int,
+    halo: int,
+    cap: int,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Stride-2 scan: two haystack bytes per table gather.
 
     ``packed2[s, c1*C+c2]`` carries the two-byte-composed next state plus
@@ -256,7 +289,9 @@ def _scan_compact2(packed2, table_classed, classes, hay, n, L, T, halo, cap):
     cc = ext[:, 0::2] * C + ext[:, 1::2]  # [L, (halo+T)//2]
     hp = halo // 2
 
-    def body(states, col):
+    def body(
+        states: jax.Array, col: jax.Array
+    ) -> tuple[jax.Array, tuple[jax.Array, jax.Array]]:
         v = packed2[states, col]
         s = v >> 2
         return s, (s, v & 3)
@@ -290,8 +325,18 @@ def _scan_compact2(packed2, table_classed, classes, hay, n, L, T, halo, cap):
 
 
 @partial(jax.jit, static_argnames=("L", "T", "halo", "cap"))
-def _scan_compact_sparse(keys, targets, fail, match_count, hay, n, L, T,
-                         halo, cap):
+def _scan_compact_sparse(
+    keys: jax.Array,
+    targets: jax.Array,
+    fail: jax.Array,
+    match_count: jax.Array,
+    hay: jax.Array,
+    n: jax.Array,
+    L: int,
+    T: int,
+    halo: int,
+    cap: int,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Sparse-CSR lane scan: binary-search goto + vectorized failure walk.
 
     The NoncontiguousNFA engine's device path (reference contract:
@@ -308,14 +353,17 @@ def _scan_compact_sparse(keys, targets, fail, match_count, hay, n, L, T,
     flat = hay.astype(jnp.int32)
     ext = build_lanes(flat, L, T, halo, n)
 
-    def resolve(states, col):
+    def resolve(
+        states: jax.Array, col: jax.Array
+    ) -> tuple[jax.Array, jax.Array]:
         col64 = col.astype(jnp.int64)
+        Carry = tuple[jax.Array, jax.Array, jax.Array]
 
-        def cond(carry):
+        def cond(carry: Carry) -> jax.Array:
             _, done, _ = carry
             return ~jnp.all(done)
 
-        def body(carry):
+        def body(carry: Carry) -> Carry:
             st, done, res = carry
             key = st.astype(jnp.int64) * 257 + col64
             j = jnp.searchsorted(keys, key)
@@ -358,7 +406,7 @@ class DeviceTables:
     """Per-automaton cache of device-resident tables + scan state."""
 
     def __init__(self, am: Automaton, engine: str,
-                 packed2_max_bytes: int = PACKED2_MAX_BYTES):
+                 packed2_max_bytes: int = PACKED2_MAX_BYTES) -> None:
         self.engine = engine
         self.keys = self.targets = self.fail = None
         if engine == "dfa":

@@ -25,6 +25,7 @@ Gather cost now scales with *matches*, not haystack bytes.
 from __future__ import annotations
 
 from functools import partial
+from typing import Any, Callable
 
 import numpy as np
 
@@ -54,7 +55,9 @@ def _leftroll(x: jnp.ndarray, k: int, R: int) -> jnp.ndarray:
     return jnp.where(lane >= 128 - k, c, a)
 
 
-def _make_fire_kernel(m: int, words: int, passes: int):
+def _make_fire_kernel(
+    m: int, words: int, passes: int
+) -> Callable[[Any, Any, Any], None]:
     """Fire kernel for an ``m``-byte, ``words``-plane, ``passes``-pass
     fingerprint.
 
@@ -67,14 +70,14 @@ def _make_fire_kernel(m: int, words: int, passes: int):
     pass by construction).
     """
 
-    def _fire_kernel(tabs_ref, x_ref, out_ref):
+    def _fire_kernel(tabs_ref: Any, x_ref: Any, out_ref: Any) -> None:
         x = x_ref[:]  # [R, 128] uint8
         R = x.shape[0]
         t = tabs_ref[:]  # [passes*2*m*words, 128] int32 nibble tables
         lo = (x & jnp.uint8(15)).astype(jnp.int32)
         hi = x.astype(jnp.int32) >> 4
 
-        def lut(row, idx):
+        def lut(row: int, idx: jax.Array) -> jax.Array:
             tab = jnp.broadcast_to(t[row : row + 1, :], idx.shape)
             return jnp.take_along_axis(tab, idx, axis=1)
 
@@ -162,8 +165,16 @@ def fire_mask(
 FLAG_SHIFT = 24
 
 
-def _verify_body(vtable, classes, hay_pad, fire_pos, n, W, cap2,
-                 use_classes):
+def _verify_body(
+    vtable: jax.Array,
+    classes: jax.Array,
+    hay_pad: jax.Array,
+    fire_pos: jax.Array,
+    n: jax.Array,
+    W: int,
+    cap2: int,
+    use_classes: bool,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Walk W-byte windows from each fire position; compact match steps.
 
     Two gather-killers versus the naive formulation (each was ~130ms/64MB
@@ -204,7 +215,9 @@ def _verify_body(vtable, classes, hay_pad, fire_pos, n, W, cap2,
     if use_classes:
         ext = classes[ext]
 
-    def body(states, colv):
+    def body(
+        states: jax.Array, colv: jax.Array
+    ) -> tuple[jax.Array, jax.Array]:
         v = vtable[states, colv]
         return v & ((1 << FLAG_SHIFT) - 1), v
 
@@ -231,8 +244,20 @@ COARSE = 16
         "cap", "cap2", "m", "words", "passes", "W", "use_classes"
     ),
 )
-def _fire_verify(tables, vtable, classes, hay2d, n, cap, cap2,
-                 m, words, passes, W, use_classes):
+def _fire_verify(
+    tables: jax.Array,
+    vtable: jax.Array,
+    classes: jax.Array,
+    hay2d: jax.Array,
+    n: jax.Array,
+    cap: int,
+    cap2: int,
+    m: int,
+    words: int,
+    passes: int,
+    W: int,
+    use_classes: bool,
+) -> tuple[jax.Array, ...]:
     """Fused fire + coarse compact + verify in ONE device dispatch.
 
     A round trip on this fabric costs ~100ms, so the prefilter pipeline must
@@ -324,8 +349,15 @@ def expand_verified(
 class TeddyScanner:
     """Per-automaton prefiltered scanner (device tables + adaptive state)."""
 
-    def __init__(self, am: Automaton, pf: Prefilter, table, classes,
-                 match_count, use_classes: bool):
+    def __init__(
+        self,
+        am: Automaton,
+        pf: Prefilter,
+        table: jax.Array,
+        classes: jax.Array,
+        match_count: jax.Array,
+        use_classes: bool,
+    ) -> None:
         if am.num_states >= (1 << FLAG_SHIFT):
             # automata this big route to the sparse engine and never get a
             # prefilter; guard anyway for direct constructions

@@ -28,8 +28,13 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from typing import TYPE_CHECKING
+
 from ..models.automaton import Automaton, PAD_BYTE
 from ..ops.scan_jax import DeviceTables, _bucket, compact_sparse
+
+if TYPE_CHECKING:
+    from ..ops.scan_teddy import TeddyScanner
 
 
 def make_mesh(num_devices: int | None = None, axis: str = "data") -> Mesh:
@@ -40,8 +45,37 @@ def make_mesh(num_devices: int | None = None, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
-def _shard_scan_fn(table, classes, flat_u8, match_count, n, *, L, T, halo,
-                   cap, use_classes, axis, n_dev):
+def _fetch(tree: object) -> object:
+    """Host-fetch jitted outputs from a (possibly multi-process) mesh.
+
+    Under ``jax.distributed`` the per-device outputs live on devices of
+    several processes, so a plain ``device_get`` cannot see the remote
+    shards; ``process_allgather`` replicates them to every host (one
+    all-gather over DCN/gloo).  Single-process meshes take the direct
+    path.
+    """
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return multihost_utils.process_allgather(tree, tiled=True)
+    return jax.device_get(tree)
+
+
+def _shard_scan_fn(
+    table: jax.Array,
+    classes: jax.Array,
+    flat_u8: jax.Array,
+    match_count: jax.Array,
+    n: jax.Array,
+    *,
+    L: int,
+    T: int,
+    halo: int,
+    cap: int,
+    use_classes: bool,
+    axis: str,
+    n_dev: int,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Per-device body: halo exchange, lane build, scan, local compaction."""
     flat = flat_u8.astype(jnp.int32)
     dev = jax.lax.axis_index(axis).astype(jnp.int32)
@@ -64,7 +98,9 @@ def _shard_scan_fn(table, classes, flat_u8, match_count, n, *, L, T, halo,
     if use_classes:
         ext = classes[ext]
 
-    def body(states, col):
+    def body(
+        states: jax.Array, col: jax.Array
+    ) -> tuple[jax.Array, jax.Array]:
         states = table[states, col]
         return states, states
 
@@ -88,8 +124,20 @@ def _shard_scan_fn(table, classes, flat_u8, match_count, n, *, L, T, halo,
     jax.jit,
     static_argnames=("L", "T", "halo", "cap", "use_classes", "mesh", "axis"),
 )
-def _sharded_scan(table, classes, flat_u8, match_count, n, L, T, halo, cap,
-                  use_classes, mesh, axis):
+def _sharded_scan(
+    table: jax.Array,
+    classes: jax.Array,
+    flat_u8: jax.Array,
+    match_count: jax.Array,
+    n: jax.Array,
+    L: int,
+    T: int,
+    halo: int,
+    cap: int,
+    use_classes: bool,
+    mesh: Mesh,
+    axis: str,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
     n_dev = mesh.devices.size
     fn = jax.shard_map(
         partial(
@@ -109,8 +157,25 @@ def _sharded_scan(table, classes, flat_u8, match_count, n, L, T, halo, cap,
     return fn(table, classes, flat_u8, match_count, n)
 
 
-def _shard_teddy_fn(tabs, vtable, classes, flat_u8, n, *, axis, n_dev,
-                    rows, m, words, passes, W, Hr, cap, cap2, use_classes):
+def _shard_teddy_fn(
+    tabs: jax.Array,
+    vtable: jax.Array,
+    classes: jax.Array,
+    flat_u8: jax.Array,
+    n: jax.Array,
+    *,
+    axis: str,
+    n_dev: int,
+    rows: int,
+    m: int,
+    words: int,
+    passes: int,
+    W: int,
+    Hr: int,
+    cap: int,
+    cap2: int,
+    use_classes: bool,
+) -> tuple[jax.Array, ...]:
     """Per-device prefiltered body: fire, coarse compact, verify.
 
     Identical to the single-chip fused pipeline (``ops/scan_teddy.py``)
@@ -173,8 +238,24 @@ def _shard_teddy_fn(tabs, vtable, classes, flat_u8, n, *, axis, n_dev,
         "use_classes", "mesh", "axis",
     ),
 )
-def _sharded_teddy(tabs, vtable, classes, flat_u8, n, rows, m, words,
-                   passes, W, Hr, cap, cap2, use_classes, mesh, axis):
+def _sharded_teddy(
+    tabs: jax.Array,
+    vtable: jax.Array,
+    classes: jax.Array,
+    flat_u8: jax.Array,
+    n: jax.Array,
+    rows: int,
+    m: int,
+    words: int,
+    passes: int,
+    W: int,
+    Hr: int,
+    cap: int,
+    cap2: int,
+    use_classes: bool,
+    mesh: Mesh,
+    axis: str,
+) -> tuple[jax.Array, ...]:
     n_dev = mesh.devices.size
     fn = jax.shard_map(
         partial(
@@ -203,7 +284,7 @@ def _sharded_teddy(tabs, vtable, classes, flat_u8, n, rows, m, words,
 
 def scan_sharded_teddy(
     am: Automaton,
-    scanner,
+    scanner: "TeddyScanner",
     hay: np.ndarray,
     mesh: Mesh,
     *,
@@ -245,7 +326,7 @@ def scan_sharded_teddy(
     cap, cap2 = scanner.fire_cap, scanner.match_cap
     too_many = max(1 << 16, n // 2)
     while True:
-        pos, ftot, win, step, st, mtot = jax.device_get(
+        pos, ftot, win, step, st, mtot = _fetch(
             _sharded_teddy(
                 scanner.tables,
                 scanner.vtable,
@@ -312,6 +393,146 @@ def scan_sharded_teddy(
     return pids[order], starts[order], ends[order]
 
 
+def _shard_batch_fn(
+    table: jax.Array,
+    classes: jax.Array,
+    hay2d: jax.Array,
+    lens: jax.Array,
+    match_count: jax.Array,
+    *,
+    cap: int,
+    use_classes: bool,
+    axis: str,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-device batched scan body: my rows, no halo, local compaction.
+
+    Each document starts at the root, so sharding the ``[B, T]`` batch
+    layout on ``B`` needs NO halo exchange at all — the only collective in
+    the batched sharded pipeline is the result gather.  Positions are
+    globalized to the flat ``row * T + t`` coordinate space the batch
+    resolve consumes.
+    """
+    B, T = hay2d.shape  # per-shard row block
+    dev = jax.lax.axis_index(axis).astype(jnp.int32)
+    col = jnp.arange(T, dtype=jnp.int32)[None, :]
+    ext = jnp.where(col < lens[:, None], hay2d.astype(jnp.int32), PAD_BYTE)
+    if use_classes:
+        ext = classes[ext]
+
+    def body(
+        states: jax.Array, c: jax.Array
+    ) -> tuple[jax.Array, jax.Array]:
+        states = table[states, c]
+        return states, states
+
+    # zeros_like(ext[:, 0]) keeps the carry varying over the mesh axis
+    # (shard_map vma rule: the carry must match the sharded scan stream)
+    _, out = jax.lax.scan(body, jnp.zeros_like(ext[:, 0]), ext.T)
+    flat_s = out.T.reshape(-1)
+    valid = (col < lens[:, None]).reshape(-1)
+    matched = (match_count[flat_s] > 0) & valid
+    local_pos, total = compact_sparse(matched, cap)
+    states_at = jnp.where(
+        local_pos >= 0, flat_s[jnp.maximum(local_pos, 0)], -1
+    )
+    positions = jnp.where(local_pos >= 0, local_pos + dev * (B * T), -1)
+    return positions[None], states_at[None], total[None]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cap", "use_classes", "mesh", "axis"),
+)
+def _sharded_batch(
+    table: jax.Array,
+    classes: jax.Array,
+    hay2d: jax.Array,
+    lens: jax.Array,
+    match_count: jax.Array,
+    cap: int,
+    use_classes: bool,
+    mesh: Mesh,
+    axis: str,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    fn = jax.shard_map(
+        partial(
+            _shard_batch_fn,
+            cap=cap,
+            use_classes=use_classes,
+            axis=axis,
+        ),
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis, None), P(axis), P()),
+        out_specs=(P(axis), P(axis), P(axis)),
+    )
+    return fn(table, classes, hay2d, lens, match_count)
+
+
+def scan_sharded_batch(
+    am: Automaton,
+    docs: list[np.ndarray],
+    tables: DeviceTables,
+    mesh: Mesh,
+    *,
+    axis: str | None = None,
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Batched many-document scan with rows sharded across ``mesh``.
+
+    The device-batch counterpart of :func:`scan_sharded`: documents are
+    staged into the same zero-padded ``[B, T]`` layout as
+    ``ops.scan_jax.scan_device_batch`` (whose contract this matches
+    exactly — flat ascending ``(positions, states, T)``), with ``B``
+    padded up to a multiple of the mesh size so every device owns an
+    equal row block.  Padding rows have length 0 and can never match.
+    """
+    from ..ops.scan_jax import MIN_LANES
+
+    B = len(docs)
+    if B == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64), 1
+    if axis is None:
+        axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    Tmax = max((len(d) for d in docs), default=1)
+    T = _bucket(max(Tmax, 16), lo=16)
+    Bb = _bucket(max(B, MIN_LANES, n_dev), lo=MIN_LANES)
+    if Bb % n_dev:  # mesh sizes are not always powers of two
+        Bb = -(-Bb // n_dev) * n_dev
+    buf = np.zeros((Bb, T), dtype=np.uint8)
+    lens = np.zeros(Bb, dtype=np.int32)
+    for i, d in enumerate(docs):
+        buf[i, : len(d)] = d
+        lens[i] = len(d)
+    hay_dev = jax.device_put(buf, NamedSharding(mesh, P(axis, None)))
+    lens_dev = jax.device_put(lens, NamedSharding(mesh, P(axis)))
+    cap = tables.last_cap
+    while True:
+        pos, st, totals = _sharded_batch(
+            tables.table,
+            tables.classes,
+            hay_dev,
+            lens_dev,
+            tables.match_count,
+            cap,
+            tables.use_classes,
+            mesh,
+            axis,
+        )
+        pos, st, totals_np = _fetch((pos, st, totals))
+        worst = int(totals_np.max()) if totals_np.size else 0
+        if worst <= cap:
+            break
+        cap = _bucket(worst, lo=4096)
+    tables.last_cap = max(4096, _bucket(max(worst, 1), lo=4096))
+    out_pos: list[np.ndarray] = []
+    out_st: list[np.ndarray] = []
+    for d in range(n_dev):
+        k = int(totals_np[d])
+        out_pos.append(pos[d, :k].astype(np.int64))
+        out_st.append(st[d, :k].astype(np.int64))
+    return np.concatenate(out_pos), np.concatenate(out_st), T
+
+
 def scan_sharded(
     am: Automaton,
     hay: np.ndarray,
@@ -341,7 +562,10 @@ def scan_sharded(
     buf[:n] = hay
     sharding = NamedSharding(mesh, P(axis))
     flat_dev = jax.device_put(buf, sharding)
-    cap = 4096
+    # sticky compaction capacity shared with the single-chip path: a
+    # match-dense corpus must not re-pay the overflow retry (a full
+    # re-scan) on every sharded call
+    cap = tables.last_cap
     while True:
         pos, st, totals = _sharded_scan(
             tables.table,
@@ -357,11 +581,12 @@ def scan_sharded(
             mesh,
             axis,
         )
-        pos, st, totals_np = jax.device_get((pos, st, totals))
+        pos, st, totals_np = _fetch((pos, st, totals))
         worst = int(totals_np.max()) if totals_np.size else 0
         if worst <= cap:
             break
         cap = _bucket(worst, lo=4096)
+    tables.last_cap = max(4096, _bucket(max(worst, 1), lo=4096))
     # pos/st are host [n_dev, cap] arrays from the single fetch above
     out_pos: list[np.ndarray] = []
     out_st: list[np.ndarray] = []

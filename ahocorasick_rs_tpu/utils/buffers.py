@@ -12,7 +12,7 @@ from __future__ import annotations
 import numpy as np
 
 
-def as_byte_view(obj) -> np.ndarray:
+def as_byte_view(obj: object) -> np.ndarray:
     """Return a read-only uint8 ndarray view of a buffer-protocol object.
 
     Raises ``TypeError`` for non-buffers (including ``str``, which does not
@@ -35,7 +35,7 @@ def as_byte_view(obj) -> np.ndarray:
     return np.frombuffer(mv, dtype=np.uint8)
 
 
-def pattern_bytes(obj) -> bytes:
+def pattern_bytes(obj: object) -> bytes:
     """Convert one pattern to ``bytes`` via the buffer protocol."""
     try:
         mv = memoryview(obj)

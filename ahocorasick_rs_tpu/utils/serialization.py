@@ -15,10 +15,14 @@ a saved matcher behaves identically after loading (including
 from __future__ import annotations
 
 import json
+from typing import TYPE_CHECKING, Union
 
 import numpy as np
 
 from ..models.automaton import Automaton, _finalize
+
+if TYPE_CHECKING:
+    from ..api import AhoCorasick, BytesAhoCorasick
 
 #: bare-automaton .npz format (arrays only, no matcher metadata)
 _FORMAT_VERSION = 1
@@ -60,7 +64,9 @@ def load_automaton(path: str) -> Automaton:
         )
 
 
-def save_matcher(path: str, matcher) -> None:
+def save_matcher(
+    path: str, matcher: Union[AhoCorasick, BytesAhoCorasick]
+) -> None:
     """Persist an ``AhoCorasick``/``BytesAhoCorasick`` with its config.
 
     The raw byte patterns are always persisted (flat blob + lengths): the
@@ -74,15 +80,12 @@ def save_matcher(path: str, matcher) -> None:
         "patterns_stored": getattr(matcher, "_patterns", None) is not None,
     }
     # tuned prefilter config (tune()), rebuilt deterministically on load;
-    # additive key — v2 readers without it keep the auto heuristic
+    # additive key — v2 readers without it keep the auto heuristic.  Only
+    # a measured tune() result is persisted: freezing the auto-chosen
+    # config would pin a heuristic pick forever and bypass future
+    # cost-model improvements for this matcher.
     if matcher._pf_config is not None:
         meta["prefilter"] = matcher._pf_config
-    elif matcher._teddy is not None:
-        meta["prefilter"] = {
-            "m": matcher._teddy.m,
-            "words": matcher._teddy.words,
-            "passes": matcher._teddy.passes,
-        }
     am = matcher._automaton
     blob = b"".join(matcher._byte_patterns)
     np.savez_compressed(
@@ -102,7 +105,7 @@ def save_matcher(path: str, matcher) -> None:
     )
 
 
-def load_matcher(path: str):
+def load_matcher(path: str) -> Union[AhoCorasick, BytesAhoCorasick]:
     """Reconstruct a matcher saved by :func:`save_matcher`."""
     from ..api import AhoCorasick, BytesAhoCorasick
     from ..models.engine import Implementation, MatchKind

@@ -1,0 +1,202 @@
+"""Execute the multihost layer for real: an N-process jax.distributed run.
+
+Spawns ``--num-processes`` copies of ``ahocorasick_rs_tpu.parallel.multihost``
+on localhost (coordinator ``127.0.0.1:<port>``, CPU backend,
+``--devices-per-process`` virtual devices each), verifies every process
+produced identical match digests for all four public semantics, checks them
+against a single-process ground truth, and writes the scaling artifact
+(``SCALING_r04.json`` by default).
+
+This is the executed evidence for SURVEY.md §2.3 (collective match
+reduction) and §5 (distributed communication backend): the sharded scan
+actually running as multiple OS processes with gloo-backed collectives —
+not scaffolding.  On this 2-core rig the throughput numbers are
+contention-bound (see the caveat written into the artifact); the
+correctness claim (bit-exact multi-process output) is rig-independent.
+
+Usage::
+
+    python tools/multihost_run.py [--nbytes 4194304] [--out SCALING_r04.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import socket
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def spawn_workers(
+    num_processes: int,
+    devices_per_process: int,
+    nbytes: int,
+    timeout: float = 600.0,
+) -> list[dict]:
+    """Run the multihost worker as ``num_processes`` subprocesses.
+
+    Returns the per-process result records; raises on any nonzero exit.
+    """
+    port = _free_port()
+    tmp = tempfile.mkdtemp(prefix="mh_")
+    procs = []
+    outs = []
+    for pid in range(num_processes):
+        out = os.path.join(tmp, f"proc{pid}.json")
+        outs.append(out)
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={devices_per_process}"
+        )
+        env["PYTHONPATH"] = (
+            env.get("PYTHONPATH", "") + os.pathsep + REPO
+        ).lstrip(os.pathsep)
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable,
+                    "-m",
+                    "ahocorasick_rs_tpu.parallel.multihost",
+                    "--coordinator",
+                    f"127.0.0.1:{port}",
+                    "--num-processes",
+                    str(num_processes),
+                    "--process-id",
+                    str(pid),
+                    "--platform",
+                    "cpu",
+                    "--nbytes",
+                    str(nbytes),
+                    "--out",
+                    out,
+                ],
+                env=env,
+                cwd=REPO,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+        )
+    records = []
+    failures = []
+    for pid, p in enumerate(procs):
+        try:
+            stdout, _ = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            stdout, _ = p.communicate()
+            failures.append((pid, "timeout", stdout))
+            continue
+        if p.returncode != 0:
+            failures.append((pid, f"exit {p.returncode}", stdout))
+            continue
+        with open(outs[pid]) as f:
+            records.append(json.load(f))
+    if failures:
+        msgs = "\n".join(
+            f"--- process {pid} ({why}) ---\n{tail[-2000:]}"
+            for pid, why, tail in failures
+        )
+        raise RuntimeError(f"multihost workers failed:\n{msgs}")
+    return records
+
+
+def single_process_truth(nbytes: int) -> dict:
+    """Ground-truth digests from a plain single-process host scan."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from ahocorasick_rs_tpu.api import AhoCorasick
+    from ahocorasick_rs_tpu.models.engine import MatchKind
+    from ahocorasick_rs_tpu.parallel.multihost import (
+        _match_digest,
+        demo_corpus,
+    )
+
+    pats, hay = demo_corpus(nbytes)
+    out = {}
+    for kind, overlapping in [
+        (MatchKind.Standard, False),
+        (MatchKind.Standard, True),
+        (MatchKind.LeftmostFirst, False),
+        (MatchKind.LeftmostLongest, False),
+    ]:
+        ac = AhoCorasick(pats, matchkind=kind)
+        matches = ac.find_matches_as_indexes(hay, overlapping=overlapping)
+        name = kind.name + ("_overlapping" if overlapping else "")
+        out[name] = {
+            "matches": len(matches),
+            "digest": _match_digest(matches),
+        }
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--num-processes", type=int, default=2)
+    ap.add_argument("--devices-per-process", type=int, default=4)
+    ap.add_argument("--nbytes", type=int, default=4 << 20)
+    ap.add_argument("--out", default=os.path.join(REPO, "SCALING_r04.json"))
+    args = ap.parse_args()
+
+    records = spawn_workers(
+        args.num_processes, args.devices_per_process, args.nbytes
+    )
+    truth = single_process_truth(args.nbytes)
+    sem_names = sorted(truth)
+    agree = all(
+        r["semantics"][s]["digest"] == truth[s]["digest"]
+        for r in records
+        for s in sem_names
+    )
+    artifact = {
+        "round": 4,
+        "what": (
+            f"{args.num_processes}-process jax.distributed CPU run on "
+            "localhost (gloo collectives), public-API sharded scan over a "
+            "global mesh"
+        ),
+        "num_processes": args.num_processes,
+        "devices_per_process": args.devices_per_process,
+        "total_devices": records[0]["devices"],
+        "nbytes": args.nbytes,
+        "bit_exact_vs_single_process": agree,
+        "semantics_verified": sem_names,
+        "per_semantics_matches": {
+            s: truth[s]["matches"] for s in sem_names
+        },
+        "scan_seconds_best": min(
+            r["scan_seconds_best"] for r in records
+        ),
+        "scan_gbps": max(r["scan_gbps"] for r in records),
+        "caveat": (
+            f"{args.num_processes} processes x "
+            f"{args.devices_per_process} virtual devices share 2 physical "
+            "cores, so the throughput is contention-bound; the executed "
+            "claim is multi-process bit-exactness + working gloo "
+            "collectives, not a scaling ratio"
+        ),
+    }
+    with open(args.out, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(json.dumps(artifact, indent=1))
+    if not agree:
+        raise SystemExit("DIGEST MISMATCH: multi-process != single-process")
+
+
+if __name__ == "__main__":
+    main()
