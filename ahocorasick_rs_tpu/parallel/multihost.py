@@ -168,11 +168,18 @@ def run_worker(
             "matches": len(matches),
             "digest": _match_digest(matches),
         }
-    # throughput: repeat the Standard scan, keep the best wall time
+    # throughput: repeat the Standard scan, keep the best wall time.  A
+    # barrier before each timed call keeps one process's host-side
+    # resolve tail from counting against the other's scan (standard
+    # distributed-benchmark practice).
     ac = AhoCorasick(pats, backend="sharded", mesh=mesh)
     ac.find_matches_as_indexes(hay)  # compile + warm
     best = float("inf")
     for _ in range(repeats):
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("scan-bench")
         t0 = time.perf_counter()
         ac.find_matches_as_indexes(hay)
         best = min(best, time.perf_counter() - t0)

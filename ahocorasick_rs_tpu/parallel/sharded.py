@@ -45,6 +45,25 @@ def make_mesh(num_devices: int | None = None, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def _put_sharded(
+    buf: np.ndarray, mesh: Mesh, spec: P
+) -> jax.Array:
+    """Stage a host buffer onto the mesh, sharded per ``spec``.
+
+    ``jax.device_put`` with a cross-process sharding takes a slow
+    consistency path (measured 0.3s for a 64MB buffer on the 2-process
+    CPU rig — 100x the cost of the local-shard copies);
+    ``make_array_from_callback`` builds the array from per-shard views of
+    ``buf`` and only touches addressable shards, so it is near-free on
+    every process and identical in result (every process holds the same
+    full ``buf``, single-controller SPMD style).
+    """
+    sharding = NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(
+        buf.shape, sharding, lambda idx: buf[idx]
+    )
+
+
 def _fetch(tree: object) -> object:
     """Host-fetch jitted outputs from a (possibly multi-process) mesh.
 
@@ -322,7 +341,7 @@ def scan_sharded_teddy(
     LT = rows * 128
     buf = np.zeros(n_dev * LT, dtype=np.uint8)
     buf[:n] = hay
-    flat_dev = jax.device_put(buf, NamedSharding(mesh, P(axis)))
+    flat_dev = _put_sharded(buf, mesh, P(axis))
     cap, cap2 = scanner.fire_cap, scanner.match_cap
     too_many = max(1 << 16, n // 2)
     while True:
@@ -503,8 +522,8 @@ def scan_sharded_batch(
     for i, d in enumerate(docs):
         buf[i, : len(d)] = d
         lens[i] = len(d)
-    hay_dev = jax.device_put(buf, NamedSharding(mesh, P(axis, None)))
-    lens_dev = jax.device_put(lens, NamedSharding(mesh, P(axis)))
+    hay_dev = _put_sharded(buf, mesh, P(axis, None))
+    lens_dev = _put_sharded(lens, mesh, P(axis))
     cap = tables.last_cap
     while True:
         pos, st, totals = _sharded_batch(
@@ -560,8 +579,7 @@ def scan_sharded(
     T = _bucket(max(-(-n // G), halo, 16))
     buf = np.zeros(G * T, dtype=np.uint8)
     buf[:n] = hay
-    sharding = NamedSharding(mesh, P(axis))
-    flat_dev = jax.device_put(buf, sharding)
+    flat_dev = _put_sharded(buf, mesh, P(axis))
     # sticky compaction capacity shared with the single-chip path: a
     # match-dense corpus must not re-pay the overflow retry (a full
     # re-scan) on every sharded call

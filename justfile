@@ -8,6 +8,12 @@ test:
 # Lint gate (same checks CI runs; works without flake8 installed).
 lint:
     python tools/lint.py
+    python tools/typecheck_lite.py
+
+# 2-process jax.distributed run on localhost (gloo collectives); verifies
+# multi-process bit-exactness and writes SCALING_r04.json.
+multihost:
+    python tools/multihost_run.py
 
 # Benchmark on the attached TPU chip; prints one JSON line.
 # First compiles go through the persistent compilation cache — warm runs

@@ -45,10 +45,15 @@ def spawn_workers(
     devices_per_process: int,
     nbytes: int,
     timeout: float = 600.0,
+    cpu_pins: list[int] | None = None,
+    repeats: int = 3,
 ) -> list[dict]:
     """Run the multihost worker as ``num_processes`` subprocesses.
 
-    Returns the per-process result records; raises on any nonzero exit.
+    ``cpu_pins`` optionally pins process ``i`` to core ``cpu_pins[i]``
+    (taskset) so weak-scaling comparisons measure cross-process overhead,
+    not core contention.  Returns the per-process result records; raises
+    on any nonzero exit.
     """
     port = _free_port()
     tmp = tempfile.mkdtemp(prefix="mh_")
@@ -65,9 +70,15 @@ def spawn_workers(
         env["PYTHONPATH"] = (
             env.get("PYTHONPATH", "") + os.pathsep + REPO
         ).lstrip(os.pathsep)
+        pin = (
+            ["taskset", "-c", str(cpu_pins[pid % len(cpu_pins)])]
+            if cpu_pins
+            else []
+        )
         procs.append(
             subprocess.Popen(
-                [
+                pin
+                + [
                     sys.executable,
                     "-m",
                     "ahocorasick_rs_tpu.parallel.multihost",
@@ -81,6 +92,8 @@ def spawn_workers(
                     "cpu",
                     "--nbytes",
                     str(nbytes),
+                    "--repeats",
+                    str(repeats),
                     "--out",
                     out,
                 ],
@@ -145,6 +158,43 @@ def single_process_truth(nbytes: int) -> dict:
     return out
 
 
+def weak_scaling(nbytes_per_proc: int) -> dict:
+    """Fair weak scaling on a 2-core rig: 1 process x 1 device x 1 pinned
+    core vs 2 processes x 1 device x 1 pinned core each, per-process work
+    constant.  With one core per process in both configs, the ratio
+    isolates the cross-process (gloo collective + allgather fetch) cost —
+    the quantity the BASELINE >=85% target is about — instead of core
+    contention.
+    """
+    t1 = min(
+        spawn_workers(1, 1, nbytes_per_proc, cpu_pins=[0], repeats=8)[0][
+            "scan_seconds_best"
+        ]
+        for _ in range(2)
+    )
+    t2 = min(
+        min(
+            r["scan_seconds_best"]
+            for r in spawn_workers(
+                2, 1, 2 * nbytes_per_proc, cpu_pins=[0, 1], repeats=8
+            )
+        )
+        for _ in range(2)
+    )
+    return {
+        "nbytes_per_process": nbytes_per_proc,
+        "seconds_1proc": t1,
+        "seconds_2proc": t2,
+        "bytes_per_s_1proc": nbytes_per_proc / t1,
+        "bytes_per_s_2proc": 2 * nbytes_per_proc / t2,
+        "weak_scaling_efficiency": round(t1 / t2, 4),
+        "method": (
+            "taskset-pinned 1 core per process in both configs; "
+            "per-process bytes constant"
+        ),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--num-processes", type=int, default=2)
@@ -188,8 +238,12 @@ def main() -> None:
             f"{args.devices_per_process} virtual devices share 2 physical "
             "cores, so the throughput is contention-bound; the executed "
             "claim is multi-process bit-exactness + working gloo "
-            "collectives, not a scaling ratio"
+            "collectives.  weak_scaling below pins 1 core per process in "
+            "both configs, so its ratio isolates cross-process collective "
+            "overhead (the BASELINE >=85% quantity) on CPU/gloo — ICI "
+            "numbers still require real multi-chip hardware."
         ),
+        "weak_scaling": weak_scaling(args.nbytes),
     }
     with open(args.out, "w") as f:
         json.dump(artifact, f, indent=1)
