@@ -118,12 +118,17 @@ def _make_fire_kernel(
 
 
 def _block_rows(m: int, words: int, passes: int) -> int:
-    """Block height fitting the kernel's live int32 tiles in ~8MB VMEM.
+    """Block height fitting the kernel's live int32 tiles in VMEM.
 
-    Live intermediates measure ≈ R * 512B * (passes*2*m*words); solve for
-    R.
+    Live intermediates estimate ≈ R * 512B * (passes*2*m*words); the
+    estimate runs ~2x over actual Mosaic usage (measured r4: at m=6 w=4
+    the estimate says 25MB for R=512, which compiles; R=1024 does not),
+    so the budget is 16MB against the ~16MB scoped-VMEM limit.  Bigger
+    blocks mean fewer force-fired wrap positions: R 256 -> 512 cut
+    per-byte fires 38538 -> 33421 on the 64MB LONG corpus at identical
+    kernel time (probe_transpose_kernel).
     """
-    r = (8 << 20) // (512 * 2 * m * words * passes)
+    r = (16 << 20) // (512 * 2 * m * words * passes)
     R = 128
     while R * 2 <= min(r, BLOCK_ROWS):
         R *= 2
@@ -180,9 +185,10 @@ def _verify_body(
     Two gather-killers versus the naive formulation (each was ~130ms/64MB
     on this fabric):
 
-    * window bytes come from ceil(W/16) chunk-row gathers over a
-      ``[n/16, 16]`` view of ``hay_pad`` (fire positions are
-      COARSE-aligned, so chunks line up); ``hay_pad`` carries zero-byte
+    * window bytes come from ceil(W/VCHUNK) chunk-row gathers over a
+      ``[n/VCHUNK, VCHUNK]`` view of ``hay_pad`` (fire positions are
+      COARSE-aligned and VCHUNK divides COARSE, so chunks line up);
+      ``hay_pad`` carries zero-byte
       tail padding (uint8 cannot hold PAD_BYTE) and any position >= ``n``
       is remapped to PAD_BYTE *after* the gather via the ``invalid``
       mask, so the padding bytes themselves are never trusted;
@@ -198,18 +204,19 @@ def _verify_body(
     pos_safe = jnp.maximum(fire_pos, 0)
     col = jnp.arange(W, dtype=jnp.int32)[None, :]
     src = pos_safe[:, None] + col
-    # fire positions are COARSE(16)-aligned, so the window bytes come from
-    # ceil(W/16) *chunk-row* gathers over a [n/16, 16] view — ~13x fewer
-    # HBM fetches than per-element gathers (measured 26ms vs 32ms at
-    # [32k, 26] on 64MB; element gathers were themselves 2.5x faster than
-    # the vmap(dynamic_slice) lowering).  Widening happens after the
-    # gather — no O(n) int32 haystack copy.
-    nchunk = -(-W // 16)
-    h16 = hay_pad.reshape(-1, 16)
-    rows = (pos_safe // 16)[:, None] + jnp.arange(
+    # fire positions are COARSE-aligned, so the window bytes come from
+    # ceil(W/VCHUNK) *chunk-row* gathers over a [n/VCHUNK, VCHUNK] view —
+    # far fewer HBM fetches than per-element gathers (measured 26ms vs
+    # 32ms at [32k, 26] on 64MB; element gathers were themselves 2.5x
+    # faster than the vmap(dynamic_slice) lowering).  Row count, not row
+    # width, dominates gather cost, so VCHUNK rides COARSE up to 32.
+    # Widening happens after the gather — no O(n) int32 haystack copy.
+    nchunk = -(-W // VCHUNK)
+    h16 = hay_pad.reshape(-1, VCHUNK)
+    rows = (pos_safe // VCHUNK)[:, None] + jnp.arange(
         nchunk, dtype=jnp.int32
     )[None, :]
-    ext = h16[rows].reshape(M, nchunk * 16)[:, :W].astype(jnp.int32)
+    ext = h16[rows].reshape(M, nchunk * VCHUNK)[:, :W].astype(jnp.int32)
     invalid = (src >= n) | (fire_pos[:, None] < 0)
     ext = jnp.where(invalid, PAD_BYTE, ext)
     if use_classes:
@@ -234,8 +241,13 @@ def _verify_body(
 #: haystack bytes per coarse verification group.  The per-byte fire mask is
 #: OR-reduced over groups of this size before compaction, so the (expensive)
 #: position extraction runs over N/COARSE elements and each verification
-#: window covers COARSE candidate starts at once.
-COARSE = 16
+#: window covers COARSE candidate starts at once.  Measured r4 (64MB LONG
+#: corpus, probe_teddy_r4): full pipeline 107.5/101.7/111.1 ms at
+#: 16/32/64 — 32 balances compaction input against window length.
+COARSE = 32
+#: chunk-row width of the verification window gather; must divide COARSE
+#: (fire positions are COARSE-aligned, rows are position // VCHUNK).
+VCHUNK = 32 if COARSE % 32 == 0 else 16
 
 
 @partial(
@@ -296,7 +308,7 @@ def _fire_verify(
     # trailing zero pad (uint8 can't hold PAD_BYTE): positions >= n are
     # remapped to PAD_BYTE inside _verify_body after the gather; padded to
     # a whole number of 16-byte chunks for the chunk-row window gather
-    pad = (-(-W // 16)) * 16
+    pad = (-(-W // VCHUNK)) * VCHUNK
     hay_pad = jnp.concatenate(
         [hay2d.reshape(-1), jnp.zeros((pad,), jnp.uint8)]
     )

@@ -234,7 +234,7 @@ def _shard_teddy_fn(
     fire_grp, ftotal = compact_sparse(fired, cap)
     fire_pos = jnp.where(fire_grp >= 0, fire_grp * _teddy.COARSE, -1)
     hay_pad = jnp.concatenate(
-        [flat_u8, right, jnp.zeros((16,), jnp.uint8)]
+        [flat_u8, right, jnp.zeros((_teddy.VCHUNK,), jnp.uint8)]
     )
     win, step, st, mtotal = _teddy._verify_body(
         vtable, classes, hay_pad, fire_pos, n_local, W, cap2, use_classes
@@ -327,7 +327,7 @@ def scan_sharded_teddy(
         axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
     W = am.max_len + _teddy.COARSE - 1
-    Hr = 16 * (-(-W // 16))
+    Hr = _teddy.VCHUNK * (-(-W // _teddy.VCHUNK))
     # Each shard must hold at least the right-halo length: the halo comes
     # from ONE ppermute hop, so verification windows may reach at most one
     # shard to the right.  LT >= Hr guarantees a window starting anywhere
