@@ -130,6 +130,41 @@ class _MatcherBase:
     _mesh = None  # jax.sharding.Mesh for the data-parallel sharded scan
     _counters = None  # scan observability, created on first scan
     _last_backend = None  # execution tier chosen by the latest scan
+    _tier_bps: dict  # measured bytes/s EMA per tier group (host/device)
+    _probe_ctr = 0  # device-eligible auto scans seen (for re-probing)
+
+    def _auto_device_ok(self, n: int) -> bool:
+        """Should an auto-routed scan of ``n`` bytes use the device tier?
+
+        Two gates.  Amortization: the device-table upload must be paid
+        for (:meth:`_device_amortized`).  Measured throughput: once both
+        tier groups have device-tier-sized measurements, route to the
+        faster one — with a 1.2x hysteresis band and a re-probe of the
+        losing device tier every 8th eligible scan so a transient slow
+        measurement (cold compile, congested interconnect) cannot lock
+        the router out of the device permanently.  On healthy TPU
+        fabrics the device path measures faster and this gate is a
+        no-op; on hosts where transfer bandwidth starves the device
+        tier (or with very fast host scans) auto keeps the user on the
+        measured-best tier instead of an assumption.
+        """
+        if not self._device_amortized(n):
+            return False
+        host = self._tier_bps.get("host")
+        dev = self._tier_bps.get("device")
+        if dev is None:
+            return True  # explore the device tier first
+        if host is None:
+            return False  # one host-tier sample completes the comparison
+        self._probe_ctr += 1
+        if dev * 1.2 < host and self._probe_ctr % 8 != 0:
+            return False
+        return True
+
+    #: execution tiers grouped for the measured-throughput router
+    _HOST_TIERS = frozenset(
+        ("python", "numpy", "native", "native_batch")
+    )
 
     def _note_scan(self, nbytes: int, seconds: float) -> None:
         """Accumulate scan-throughput counters (SURVEY.md §5 metrics)."""
@@ -143,6 +178,18 @@ class _MatcherBase:
         c["scan_calls"] += 1
         c["scan_bytes"] += nbytes
         c["scan_seconds"] += seconds
+        # per-tier-group throughput EMA feeding the adaptive auto router;
+        # only device-tier-sized scans are comparable signals
+        if seconds > 0 and nbytes >= DEVICE_TIER_MIN:
+            group = (
+                "host" if self._last_backend in self._HOST_TIERS
+                else "device"
+            )
+            bps = nbytes / seconds
+            prev = self._tier_bps.get(group)
+            self._tier_bps[group] = (
+                bps if prev is None else 0.5 * prev + 0.5 * bps
+            )
 
     def _build(
         self,
@@ -186,7 +233,7 @@ class _MatcherBase:
         am = self._automaton
         backend = self._backend
         if backend == "auto":
-            if n < DEVICE_TIER_MIN or not self._device_amortized(n):
+            if n < DEVICE_TIER_MIN or not self._auto_device_ok(n):
                 backend = "native" if self._native_ok() else (
                     "python" if n <= PY_TIER_MAX else "numpy"
                 )
@@ -276,10 +323,11 @@ class _MatcherBase:
                 self._native_scanner = _native.DenseScanner(
                     am.delta_classed, am.match_count,
                     classes=am.byte_classes,
+                    halo=am.max_len - 1,
                 )
             else:
                 self._native_scanner = _native.DenseScanner(
-                    am.delta, am.match_count
+                    am.delta, am.match_count, halo=am.max_len - 1
                 )
         return self._native_scanner
 
@@ -335,7 +383,7 @@ class _MatcherBase:
         return (
             self._backend in ("auto", "device", "sharded")
             and n >= DEVICE_TIER_MIN
-            and (self._backend != "auto" or self._device_amortized(n))
+            and (self._backend != "auto" or self._auto_device_ok(n))
             and jax.default_backend() == "tpu"
         )
 
@@ -549,7 +597,7 @@ class _MatcherBase:
             use_device = (
                 total >= DEVICE_TIER_MIN
                 and len(docs) > 1
-                and self._device_amortized(total)
+                and self._auto_device_ok(total)
             )
         else:
             use_device = backend in ("device", "sharded")
@@ -757,6 +805,7 @@ class _MatcherBase:
             else 0.0
         )
         s["last_backend"] = self._last_backend
+        s["tier_bytes_per_second"] = dict(self._tier_bps)
         return s
 
 
@@ -803,6 +852,7 @@ class AhoCorasick(_MatcherBase):
         self._patterns: Optional[list[str]] = (
             originals if store_patterns else None
         )
+        self._tier_bps = {}
         self._backend = backend
         self._mesh = mesh
         self._build(byte_patterns, matchkind, implementation)
@@ -923,6 +973,7 @@ class BytesAhoCorasick(_MatcherBase):
             if not bp:
                 raise ValueError("You passed in an empty pattern")
             byte_patterns.append(bp)
+        self._tier_bps = {}
         self._backend = backend
         self._mesh = mesh
         self._build(byte_patterns, matchkind, implementation)

@@ -114,6 +114,16 @@ def _load() -> Optional[ctypes.CDLL]:
             _i32p, ctypes.c_int64, _i32p, _i32p, _i8p, _i64p,
             ctypes.c_int64, _i64p, _i32p, ctypes.c_int64,
         ]
+        lib.ac_scan_dense_lanes.restype = ctypes.c_int64
+        lib.ac_scan_dense_lanes.argtypes = [
+            _i32p, _i32p, _i8p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, _i64p, _i32p, ctypes.c_int64,
+        ]
+        lib.ac_scan_classed_lanes.restype = ctypes.c_int64
+        lib.ac_scan_classed_lanes.argtypes = [
+            _i32p, ctypes.c_int64, _i32p, _i32p, _i8p, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, _i64p, _i32p, ctypes.c_int64,
+        ]
         _lib = lib
         return _lib
 
@@ -173,15 +183,24 @@ class DenseScanner:
     CDLL handle whose prototypes take raw pointers.
     """
 
+    #: haystacks at least this long use the interleaved-lane scan (the
+    #: serial walk is a dependent-load chain; 8 lanes/core x threads hide
+    #: the table-fetch latency — measured multi-x on both cache-resident
+    #: and DRAM-resident tables)
+    LANES_MIN_BYTES = 1 << 16
+
     def __init__(
         self,
         delta: np.ndarray,
         match_count: np.ndarray,
         classes: Optional[np.ndarray] = None,
+        halo: int = 0,
     ) -> None:
         lib = _load_raw()
         assert lib is not None
         self._lib = lib
+        self._halo = int(halo)
+        self._threads = min(os.cpu_count() or 1, 8)
         # keep references so the arrays outlive the cached pointers
         self._delta = np.ascontiguousarray(delta, dtype=np.int32)
         self._mc = np.ascontiguousarray(match_count, dtype=np.int32)
@@ -209,13 +228,24 @@ class DenseScanner:
         if n == 0 or not hay.flags["C_CONTIGUOUS"] or hay.dtype != np.uint8:
             hay = np.ascontiguousarray(hay, dtype=np.uint8)
         hp = ctypes.c_void_p(hay.ctypes.data if n else 0)
-        cap = 1024
+        lanes = n >= self.LANES_MIN_BYTES
+        cap = 4096 if lanes else 1024
         while True:
             out_pos, out_state = self._buffers(cap)
             cap = out_pos.shape[0]
             pp = ctypes.c_void_p(out_pos.ctypes.data)
             sp = ctypes.c_void_p(out_state.ctypes.data)
-            if self._cp is None:
+            if lanes and self._cp is None:
+                found = self._lib.ac_scan_dense_lanes(
+                    self._dp, self._mcp, hp, n, self._halo,
+                    self._threads, pp, sp, cap,
+                )
+            elif lanes:
+                found = self._lib.ac_scan_classed_lanes(
+                    self._dp, self._nc, self._cp, self._mcp, hp, n,
+                    self._halo, self._threads, pp, sp, cap,
+                )
+            elif self._cp is None:
                 found = self._lib.ac_scan_dense(
                     self._dp, self._mcp, hp, n, pp, sp, cap
                 )
@@ -255,6 +285,16 @@ def _load_raw() -> Optional[ctypes.CDLL]:
             lib.ac_scan_classed.argtypes = [
                 p, ctypes.c_int64, p, p, p, ctypes.c_int64, p, p,
                 ctypes.c_int64,
+            ]
+            lib.ac_scan_dense_lanes.restype = ctypes.c_int64
+            lib.ac_scan_dense_lanes.argtypes = [
+                p, p, p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+                p, p, ctypes.c_int64,
+            ]
+            lib.ac_scan_classed_lanes.restype = ctypes.c_int64
+            lib.ac_scan_classed_lanes.argtypes = [
+                p, ctypes.c_int64, p, p, p, ctypes.c_int64,
+                ctypes.c_int32, ctypes.c_int32, p, p, ctypes.c_int64,
             ]
             _lib_raw = lib
     return _lib_raw

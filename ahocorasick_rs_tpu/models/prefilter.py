@@ -333,7 +333,7 @@ def build_prefilter_candidates(
 GATHER_COST_RATIO = 1200.0
 #: coarse verification group size — must mirror ops/scan_teddy.py COARSE
 #: (imported there; duplicated here would be a circular import).
-_COARSE = 16
+_COARSE = 32
 
 
 def _model_cost(m: int, words: int, passes: int, est_rate: float,

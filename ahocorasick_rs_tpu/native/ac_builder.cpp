@@ -302,3 +302,200 @@ int64_t ac_scan_classed_batch(const int32_t *delta, int64_t num_classes,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Interleaved-lane scanners: the CPU instantiation of the framework's halo'd
+// speculative-lane design (ops/scan_host.py exactness argument).  The serial
+// walk above is a dependent-load chain — each step waits on the previous
+// table fetch (L2/DRAM latency bound: measured 0.17 GB/s at 6.5k states,
+// 0.02 GB/s at 500k states on this rig).  Splitting the haystack into L
+// contiguous segments, warming each from the root over a halo of
+// max_len-1 bytes (exact by the bounded-state-history argument), and
+// stepping all L automata in one interleaved loop gives the core L
+// independent load chains to overlap.  Two worker threads (the rig's core
+// count) multiply that.
+//
+// Emission: lane l writes into slice l of the caller's out buffers
+// (cap / total_lanes entries each); lanes cover ascending position ranges,
+// so compacting the slices in order yields the exact serial output.  If
+// any lane overflows its slice, the return value exceeds `cap` and sizes
+// the retry (total_lanes * max lane count); otherwise the total is
+// returned — the same retry contract as the serial scanners.
+// ---------------------------------------------------------------------------
+
+#include <thread>
+
+namespace {
+
+template <bool CLASSED>
+static inline int32_t step_state(const int32_t *delta, int64_t ncls,
+                                 const int32_t *classes, int32_t state,
+                                 uint8_t b) {
+  if (CLASSED)
+    return delta[static_cast<int64_t>(state) * ncls + classes[b]];
+  return delta[static_cast<int64_t>(state) * 257 + b];
+}
+
+struct LaneResult {
+  int64_t count;     // matches found in this lane (exact)
+  int64_t written;   // entries actually written (<= slice cap)
+};
+
+// Scan [begin, end) with L interleaved lanes; lane slices start at
+// out_pos/out_state + slice0 + l*cp.  Positions are absolute.
+template <int L, bool CLASSED>
+static void scan_chunk_lanes(const int32_t *delta, int64_t ncls,
+                             const int32_t *classes, const int32_t *mc,
+                             const uint8_t *hay, int64_t begin, int64_t end,
+                             int32_t halo, int64_t *out_pos,
+                             int32_t *out_state, int64_t slice0, int64_t cp,
+                             LaneResult *res) {
+  const int64_t len = end - begin;
+  const int64_t seg = len / L;
+  int32_t st[L];
+  int64_t base[L];
+  int64_t cnt[L];
+  for (int l = 0; l < L; ++l) {
+    st[l] = 0;
+    base[l] = begin + static_cast<int64_t>(l) * seg;
+    cnt[l] = 0;
+  }
+  // halo warmup: walk the halo bytes preceding each lane (clamped at the
+  // haystack start) without emitting; exact because a state encodes at
+  // most max_len bytes of history.
+  for (int l = 0; l < L; ++l) {
+    const int64_t h0 = base[l] - halo < 0 ? 0 : base[l] - halo;
+    int32_t s = 0;
+    for (int64_t i = h0; i < base[l]; ++i)
+      s = step_state<CLASSED>(delta, ncls, classes, s, hay[i]);
+    st[l] = s;
+  }
+  for (int64_t t = 0; t < seg; ++t) {
+    for (int l = 0; l < L; ++l) {
+      const int64_t i = base[l] + t;
+      const int32_t s =
+          step_state<CLASSED>(delta, ncls, classes, st[l], hay[i]);
+      st[l] = s;
+      if (mc[s]) {
+        if (cnt[l] < cp) {
+          const int64_t o = slice0 + static_cast<int64_t>(l) * cp + cnt[l];
+          out_pos[o] = i;
+          out_state[o] = s;
+        }
+        ++cnt[l];
+      }
+    }
+  }
+  // ragged tail (len - L*seg < L bytes): continue the last lane serially.
+  {
+    const int l = L - 1;
+    int32_t s = st[l];
+    for (int64_t i = base[l] + seg; i < end; ++i) {
+      s = step_state<CLASSED>(delta, ncls, classes, s, hay[i]);
+      if (mc[s]) {
+        if (cnt[l] < cp) {
+          const int64_t o = slice0 + static_cast<int64_t>(l) * cp + cnt[l];
+          out_pos[o] = i;
+          out_state[o] = s;
+        }
+        ++cnt[l];
+      }
+    }
+  }
+  for (int l = 0; l < L; ++l) {
+    res[l].count = cnt[l];
+    res[l].written = cnt[l] < cp ? cnt[l] : cp;
+  }
+}
+
+template <bool CLASSED>
+static int64_t scan_lanes_impl(const int32_t *delta, int64_t ncls,
+                               const int32_t *classes, const int32_t *mc,
+                               const uint8_t *hay, int64_t n, int32_t halo,
+                               int32_t threads, int64_t *out_pos,
+                               int32_t *out_state, int64_t cap) {
+  constexpr int L = 16;
+  int T = threads < 1 ? 1 : (threads > 16 ? 16 : threads);
+  // every lane must be long enough that the interleave pays and the halo
+  // fits well inside the segment
+  const int64_t min_seg = halo > 64 ? 2 * static_cast<int64_t>(halo) : 128;
+  while (T > 1 && n / (static_cast<int64_t>(T) * L) < min_seg) --T;
+  if (n / L < min_seg || cap < static_cast<int64_t>(T) * L) {
+    // fall back to the serial walk (identical output)
+    if (CLASSED)
+      return ac_scan_classed(delta, ncls, classes, mc, hay, n, out_pos,
+                             out_state, cap);
+    return ac_scan_dense(delta, mc, hay, n, out_pos, out_state, cap);
+  }
+  const int64_t total_lanes = static_cast<int64_t>(T) * L;
+  const int64_t cp = cap / total_lanes;
+  const int64_t chunk = n / T;
+  LaneResult res[2 * L * 8];  // up to 16 threads x 8 lanes
+  std::vector<std::thread> workers;
+  for (int t = 0; t < T; ++t) {
+    const int64_t b = static_cast<int64_t>(t) * chunk;
+    const int64_t e = t == T - 1 ? n : b + chunk;
+    const int64_t slice0 = static_cast<int64_t>(t) * L * cp;
+    LaneResult *r = res + static_cast<int64_t>(t) * L;
+    if (t == T - 1) {
+      scan_chunk_lanes<L, CLASSED>(delta, ncls, classes, mc, hay, b, e,
+                                   halo, out_pos, out_state, slice0, cp, r);
+    } else {
+      workers.emplace_back([=] {
+        scan_chunk_lanes<L, CLASSED>(delta, ncls, classes, mc, hay, b, e,
+                                     halo, out_pos, out_state, slice0, cp,
+                                     r);
+      });
+    }
+  }
+  for (auto &w : workers) w.join();
+  int64_t total = 0;
+  int64_t worst = 0;
+  for (int64_t l = 0; l < total_lanes; ++l) {
+    total += res[l].count;
+    if (res[l].count > worst) worst = res[l].count;
+  }
+  if (worst > cp) {
+    // overflow: report a capacity that makes every lane slice fit next
+    // time (strictly > cap since worst > cap / total_lanes)
+    const int64_t needed = total_lanes * worst;
+    return needed > total ? needed : total;
+  }
+  // compact the lane slices into a contiguous prefix (ascending: threads
+  // cover ascending chunks, lanes ascending segments within them)
+  int64_t w = 0;
+  for (int64_t l = 0; l < total_lanes; ++l) {
+    const int64_t s0 = l * cp;
+    const int64_t k = res[l].written;
+    if (s0 != w && k) {
+      std::memmove(out_pos + w, out_pos + s0, k * sizeof(int64_t));
+      std::memmove(out_state + w, out_state + s0, k * sizeof(int32_t));
+    }
+    w += k;
+  }
+  return total;
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t ac_scan_dense_lanes(const int32_t *delta, const int32_t *match_count,
+                            const uint8_t *hay, int64_t n, int32_t halo,
+                            int32_t threads, int64_t *out_pos,
+                            int32_t *out_state, int64_t cap) {
+  return scan_lanes_impl<false>(delta, 257, nullptr, match_count, hay, n,
+                                halo, threads, out_pos, out_state, cap);
+}
+
+int64_t ac_scan_classed_lanes(const int32_t *delta, int64_t num_classes,
+                              const int32_t *classes,
+                              const int32_t *match_count, const uint8_t *hay,
+                              int64_t n, int32_t halo, int32_t threads,
+                              int64_t *out_pos, int32_t *out_state,
+                              int64_t cap) {
+  return scan_lanes_impl<true>(delta, num_classes, classes, match_count, hay,
+                               n, halo, threads, out_pos, out_state, cap);
+}
+
+}  // extern "C"

@@ -146,6 +146,7 @@ def load_matcher(path: str) -> Union[AhoCorasick, BytesAhoCorasick]:
     matcher._implementation = Implementation[meta["implementation"]]
     matcher._automaton = am
     matcher._backend = "auto"
+    matcher._tier_bps = {}
     matcher._device_tables = None
     matcher._teddy = None
     matcher._byte_patterns = byte_patterns

@@ -161,3 +161,60 @@ def test_auto_backend_consistency_across_sizes() -> None:
             patterns, backend="python"
         ).find_matches_as_indexes(hay)
         assert auto == ref, n
+
+
+def test_auto_router_measured_throughput_gate():
+    """auto routes device-eligible scans to the measured-faster tier
+    group, with a re-probe of the losing device tier every 8th eligible
+    scan (adaptive routing; transfer-starved fabrics must not lock users
+    onto a slower device path forever)."""
+    from ahocorasick_rs_tpu import AhoCorasick
+
+    ac = AhoCorasick(["needle", "pin"])
+    ac._device_amortized = lambda n: True  # isolate the throughput gate
+
+    # no measurements yet: explore the device tier
+    assert ac._auto_device_ok(1 << 22)
+
+    # device measured but host never sampled: force one host-tier scan so
+    # the comparison can engage (straight-to-device corpora would
+    # otherwise never discover a faster host)
+    ac._tier_bps = {"device": 1e9}
+    assert not ac._auto_device_ok(1 << 22)
+
+    # device measured 10x slower than host: host wins, except the probe
+    ac._tier_bps = {"host": 1e9, "device": 1e8}
+    ac._probe_ctr = 0
+    decisions = [ac._auto_device_ok(1 << 22) for _ in range(16)]
+    assert decisions.count(True) == 2  # two probes in 16 calls
+    assert decisions[7] and decisions[15]
+
+    # device measured faster: always chosen
+    ac._tier_bps = {"host": 1e8, "device": 1e9}
+    assert all(ac._auto_device_ok(1 << 22) for _ in range(8))
+
+    # within the 1.2x hysteresis band: device keeps the benefit of doubt
+    ac._tier_bps = {"host": 1.1e9, "device": 1e9}
+    assert all(ac._auto_device_ok(1 << 22) for _ in range(8))
+
+
+def test_note_scan_records_tier_group_ema():
+    from ahocorasick_rs_tpu import AhoCorasick
+    from ahocorasick_rs_tpu.api import DEVICE_TIER_MIN
+
+    ac = AhoCorasick(["needle"])
+    ac._last_backend = "native"
+    ac._note_scan(DEVICE_TIER_MIN, 1.0)
+    assert ac._tier_bps["host"] == DEVICE_TIER_MIN
+    ac._last_backend = "teddy"
+    ac._note_scan(4 * DEVICE_TIER_MIN, 1.0)
+    assert ac._tier_bps["device"] == 4 * DEVICE_TIER_MIN
+    # EMA: second host sample averages in
+    ac._last_backend = "native"
+    ac._note_scan(3 * DEVICE_TIER_MIN, 1.0)
+    assert ac._tier_bps["host"] == 2 * DEVICE_TIER_MIN
+    # sub-device-tier scans are not comparable signals
+    ac._last_backend = "python"
+    ac._note_scan(100, 0.001)
+    assert ac._tier_bps["host"] == 2 * DEVICE_TIER_MIN
+    assert "tier_bytes_per_second" in ac.stats()
