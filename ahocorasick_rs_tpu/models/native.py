@@ -124,6 +124,16 @@ def _load() -> Optional[ctypes.CDLL]:
             _i32p, ctypes.c_int64, _i32p, _i32p, _i8p, ctypes.c_int64,
             ctypes.c_int32, ctypes.c_int32, _i64p, _i32p, ctypes.c_int64,
         ]
+        lib.ac_scan_dense_batch_lanes.restype = ctypes.c_int64
+        lib.ac_scan_dense_batch_lanes.argtypes = [
+            _i32p, _i32p, _i8p, _i64p, ctypes.c_int64, ctypes.c_int32,
+            _i64p, _i32p, ctypes.c_int64,
+        ]
+        lib.ac_scan_classed_batch_lanes.restype = ctypes.c_int64
+        lib.ac_scan_classed_batch_lanes.argtypes = [
+            _i32p, ctypes.c_int64, _i32p, _i32p, _i8p, _i64p,
+            ctypes.c_int64, ctypes.c_int32, _i64p, _i32p, ctypes.c_int64,
+        ]
         _lib = lib
         return _lib
 
@@ -323,11 +333,34 @@ def scan_dense_native_batch(
     offsets = np.ascontiguousarray(offsets, dtype=np.int64)
     delta = np.ascontiguousarray(delta, dtype=np.int32)
     match_count = np.ascontiguousarray(match_count, dtype=np.int32)
+    # interleaved lanes pay off once the batch is big enough to amortize
+    # the group machinery; tiny batches keep the serial walk
+    lanes = ndocs >= 32 and len(buf) >= (1 << 16)
+    threads = min(os.cpu_count() or 1, 8)
     cap = max(4096, len(buf) // 64)
     while True:
         out_pos = np.empty(cap, dtype=np.int64)
         out_state = np.empty(cap, dtype=np.int32)
-        if classes is None:
+        if lanes and classes is None:
+            found = lib.ac_scan_dense_batch_lanes(
+                delta, match_count, buf, offsets, ndocs, threads,
+                out_pos, out_state, cap,
+            )
+        elif lanes:
+            found = lib.ac_scan_classed_batch_lanes(
+                delta,
+                delta.shape[1],
+                np.ascontiguousarray(classes, dtype=np.int32),
+                match_count,
+                buf,
+                offsets,
+                ndocs,
+                threads,
+                out_pos,
+                out_state,
+                cap,
+            )
+        elif classes is None:
             found = lib.ac_scan_dense_batch(
                 delta, match_count, buf, offsets, ndocs, out_pos,
                 out_state, cap,

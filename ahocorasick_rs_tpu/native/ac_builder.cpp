@@ -499,3 +499,186 @@ int64_t ac_scan_classed_lanes(const int32_t *delta, int64_t num_classes,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Interleaved batched scanners: groups of 16 documents advance in lockstep
+// (every document starts at the root, so no halo is needed — the batch
+// analogue of the lanes scan above), hiding the per-step table-fetch
+// latency that the one-document-at-a-time batch walk pays serially.
+// Documents keep their order: lanes within a group and groups within a
+// thread chunk cover ascending document ranges, so compacted output is in
+// concatenated-coordinate ascending order, identical to the serial batch
+// scanners.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct BatchChunkResult {
+  int64_t total;     // matches in this chunk (exact)
+  int64_t written;   // entries compacted at the chunk's base (<= capacity)
+  bool overflow;
+};
+
+template <int L, bool CLASSED>
+static void scan_batch_chunk(const int32_t *delta, int64_t ncls,
+                             const int32_t *classes, const int32_t *mc,
+                             const uint8_t *buf, const int64_t *offsets,
+                             int64_t d0, int64_t d1, int64_t *out_pos,
+                             int32_t *out_state, int64_t out0, int64_t capc,
+                             BatchChunkResult *res) {
+  int64_t total = 0;
+  int64_t write = 0;  // relative to out0
+  bool overflow = false;
+  for (int64_t g = d0; g < d1; g += L) {
+    const int k = static_cast<int>(g + L <= d1 ? L : d1 - g);
+    int64_t base[L], len[L], cnt[L];
+    int32_t st[L];
+    int64_t maxlen = 0;
+    for (int l = 0; l < k; ++l) {
+      base[l] = offsets[g + l];
+      len[l] = offsets[g + l + 1] - base[l];
+      if (len[l] > maxlen) maxlen = len[l];
+      st[l] = 0;
+      cnt[l] = 0;
+    }
+    const int64_t cp = overflow ? 0 : (capc - write) / (k > 0 ? k : 1);
+    for (int64_t t = 0; t < maxlen; ++t) {
+      for (int l = 0; l < k; ++l) {
+        if (t >= len[l]) continue;
+        const int32_t s =
+            step_state<CLASSED>(delta, ncls, classes, st[l], buf[base[l] + t]);
+        st[l] = s;
+        if (mc[s]) {
+          if (cnt[l] < cp) {
+            const int64_t o = out0 + write + static_cast<int64_t>(l) * cp +
+                              cnt[l];
+            out_pos[o] = base[l] + t;
+            out_state[o] = s;
+          }
+          ++cnt[l];
+        }
+      }
+    }
+    int64_t gtotal = 0;
+    bool gover = false;
+    for (int l = 0; l < k; ++l) {
+      gtotal += cnt[l];
+      if (cnt[l] > cp) gover = true;
+    }
+    total += gtotal;
+    if (gover || overflow) {
+      overflow = true;  // keep counting exactly, stop writing
+      continue;
+    }
+    // compact this group's lane slices to [write, write + gtotal)
+    int64_t w = write;
+    for (int l = 0; l < k; ++l) {
+      const int64_t s0 = write + static_cast<int64_t>(l) * cp;
+      if (s0 != w && cnt[l]) {
+        std::memmove(out_pos + out0 + w, out_pos + out0 + s0,
+                     cnt[l] * sizeof(int64_t));
+        std::memmove(out_state + out0 + w, out_state + out0 + s0,
+                     cnt[l] * sizeof(int32_t));
+      }
+      w += cnt[l];
+    }
+    write = w;
+  }
+  res->total = total;
+  res->written = overflow ? 0 : write;
+  res->overflow = overflow;
+}
+
+template <bool CLASSED>
+static int64_t scan_batch_lanes_impl(const int32_t *delta, int64_t ncls,
+                                     const int32_t *classes,
+                                     const int32_t *mc, const uint8_t *buf,
+                                     const int64_t *offsets, int64_t ndocs,
+                                     int32_t threads, int64_t *out_pos,
+                                     int32_t *out_state, int64_t cap) {
+  constexpr int L = 16;
+  int T = threads < 1 ? 1 : (threads > 16 ? 16 : threads);
+  if (ndocs < 2 * L) T = 1;
+  const int64_t docs_per_t = ndocs / T;
+  const int64_t capc = cap / T;
+  if (capc < L) {
+    if (CLASSED)
+      return ac_scan_classed_batch(delta, ncls, classes, mc, buf, offsets,
+                                   ndocs, out_pos, out_state, cap);
+    return ac_scan_dense_batch(delta, mc, buf, offsets, ndocs, out_pos,
+                               out_state, cap);
+  }
+  BatchChunkResult res[16];
+  std::vector<std::thread> workers;
+  for (int t = 0; t < T; ++t) {
+    const int64_t d0 = static_cast<int64_t>(t) * docs_per_t;
+    const int64_t d1 = t == T - 1 ? ndocs : d0 + docs_per_t;
+    const int64_t out0 = static_cast<int64_t>(t) * capc;
+    BatchChunkResult *r = res + t;
+    if (t == T - 1) {
+      scan_batch_chunk<L, CLASSED>(delta, ncls, classes, mc, buf, offsets,
+                                   d0, d1, out_pos, out_state, out0, capc,
+                                   r);
+    } else {
+      workers.emplace_back([=] {
+        scan_batch_chunk<L, CLASSED>(delta, ncls, classes, mc, buf, offsets,
+                                     d0, d1, out_pos, out_state, out0, capc,
+                                     r);
+      });
+    }
+  }
+  for (auto &w : workers) w.join();
+  int64_t total = 0;
+  bool overflow = false;
+  for (int t = 0; t < T; ++t) {
+    total += res[t].total;
+    overflow = overflow || res[t].overflow;
+  }
+  if (overflow || total > cap) {
+    // geometric retry sizing; always exceeds cap so the caller retries
+    const int64_t dbl = 2 * (total > cap ? total : cap);
+    return dbl;
+  }
+  // compact thread regions into a contiguous prefix (doc order)
+  int64_t w = res[0].written;
+  for (int t = 1; t < T; ++t) {
+    const int64_t s0 = static_cast<int64_t>(t) * capc;
+    if (res[t].written) {
+      std::memmove(out_pos + w, out_pos + s0,
+                   res[t].written * sizeof(int64_t));
+      std::memmove(out_state + w, out_state + s0,
+                   res[t].written * sizeof(int32_t));
+    }
+    w += res[t].written;
+  }
+  return total;
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t ac_scan_dense_batch_lanes(const int32_t *delta,
+                                  const int32_t *match_count,
+                                  const uint8_t *buf, const int64_t *offsets,
+                                  int64_t ndocs, int32_t threads,
+                                  int64_t *out_pos, int32_t *out_state,
+                                  int64_t cap) {
+  return scan_batch_lanes_impl<false>(delta, 257, nullptr, match_count, buf,
+                                      offsets, ndocs, threads, out_pos,
+                                      out_state, cap);
+}
+
+int64_t ac_scan_classed_batch_lanes(const int32_t *delta, int64_t num_classes,
+                                    const int32_t *classes,
+                                    const int32_t *match_count,
+                                    const uint8_t *buf,
+                                    const int64_t *offsets, int64_t ndocs,
+                                    int32_t threads, int64_t *out_pos,
+                                    int32_t *out_state, int64_t cap) {
+  return scan_batch_lanes_impl<true>(delta, num_classes, classes,
+                                     match_count, buf, offsets, ndocs,
+                                     threads, out_pos, out_state, cap);
+}
+
+}  // extern "C"

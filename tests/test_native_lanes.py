@@ -103,3 +103,75 @@ def test_public_api_uses_lanes_tier():
         hay
     )
     assert ac.stats()["last_backend"] == "native"
+
+
+@pytest.mark.parametrize("use_classes", [False, True])
+def test_batch_lanes_equals_serial(use_classes):
+    """Interleaved batched scan == serial batched scan on ragged docs
+    (empties, match-dense docs that overflow lane slices, group
+    boundaries)."""
+    rng = np.random.default_rng(21)
+    am = build_automaton(PATS)
+    docs = []
+    for i in range(200):
+        k = int(rng.integers(0, 120))
+        d = rng.integers(97, 123, k, dtype=np.uint8).astype(np.uint8)
+        if i % 7 == 0 and k > 10:
+            d[2:8] = np.frombuffer(b"needle", np.uint8)
+        if i % 31 == 0:
+            d = np.frombuffer(b"aaaa" * 40, np.uint8)  # match-dense
+        docs.append(d)
+    docs.append(np.zeros(0, np.uint8))
+    offsets = np.zeros(len(docs) + 1, np.int64)
+    np.cumsum([len(d) for d in docs], out=offsets[1:])
+    buf = np.concatenate(docs)
+    classes = am.byte_classes if use_classes else None
+    delta = am.delta_classed if use_classes else am.delta
+    lib = native._load()
+    cap = 1 << 16
+    out_pos = np.empty(cap, np.int64)
+    out_state = np.empty(cap, np.int32)
+    d32 = np.ascontiguousarray(delta, np.int32)
+    mc = np.ascontiguousarray(am.match_count, np.int32)
+    if use_classes:
+        found = lib.ac_scan_classed_batch(
+            d32, d32.shape[1], np.ascontiguousarray(classes, np.int32),
+            mc, buf, offsets, len(docs), out_pos, out_state, cap,
+        )
+    else:
+        found = lib.ac_scan_dense_batch(
+            d32, mc, buf, offsets, len(docs), out_pos, out_state, cap
+        )
+    want = (out_pos[:found].copy(), out_state[:found].copy())
+    got = native.scan_dense_native_batch(
+        delta, am.match_count, buf, offsets, classes=classes
+    )
+    # force the lanes path regardless of size thresholds
+    import ahocorasick_rs_tpu.models.native as nat
+
+    lanes_fn = (
+        lib.ac_scan_classed_batch_lanes if use_classes
+        else lib.ac_scan_dense_batch_lanes
+    )
+    small = 64  # tiny cap: exercises the overflow retry
+    while True:
+        op = np.empty(small, np.int64)
+        os_ = np.empty(small, np.int32)
+        if use_classes:
+            f2 = lanes_fn(
+                d32, d32.shape[1],
+                np.ascontiguousarray(classes, np.int32), mc, buf,
+                offsets, len(docs), 2, op, os_, small,
+            )
+        else:
+            f2 = lanes_fn(
+                d32, mc, buf, offsets, len(docs), 2, op, os_, small
+            )
+        if f2 <= small:
+            break
+        small = int(f2)
+    assert np.array_equal(op[:f2], want[0])
+    assert np.array_equal(os_[:f2], want[1])
+    assert np.array_equal(got[0], want[0])
+    assert np.array_equal(got[1].astype(np.int32), want[1])
+    assert nat is native
