@@ -94,7 +94,11 @@ def _plan_batch_groups(lens: list[int]) -> list[list[int]]:
             groups.append(cur)
             cur = []
         if not cur:
-            curT = max(ln, 16)
+            # budget-account the power-of-two-aligned T the dense batch
+            # path will actually stage (the prefiltered path's COARSE
+            # alignment is tighter), so the real buffer never exceeds
+            # BATCH_STAGE_BYTES on either path
+            curT = 1 << (max(ln, 16) - 1).bit_length()
         cur.append(i)
     if cur:
         groups.append(cur)

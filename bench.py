@@ -354,6 +354,16 @@ def main() -> None:
         baseline_gbps = n / t / 1e9
         detail["cpu_native_gbps"] = round(baseline_gbps, 4)
         detail["paths_run"].append("cpu_native")
+        # the framework's actual host tier: 16 interleaved halo'd lanes
+        # per worker thread (the serial walk above stays the baseline —
+        # it is the reference-equivalent hot loop)
+        sc = native.DenseScanner(
+            am.delta, am.match_count, halo=am.max_len - 1
+        )
+        sc.scan(hay[: 1 << 20])
+        t = _time_best(lambda: sc.scan(hay), reps=2)
+        detail["cpu_lanes_gbps"] = round(n / t / 1e9, 4)
+        detail["paths_run"].append("cpu_lanes")
 
     plain_gbps = teddy_gbps = None
     matches = None

@@ -313,7 +313,7 @@ def test_batch_teddy_staged_size_gate():
     # lengths within the 4x waste factor, so grouping keeps ONE group and
     # the staged buffer is ~3.7x the byte total
     pats = ["endx", "aaaa"]
-    docs = ["q" * 1996 + "endx"] * 10 + ["aaaa" * 125] * 400
+    docs = ["q" * 1996 + "endx"] * 10 + ["aaaa" * 128] * 400
     cap = 400_000
     ac = AhoCorasick(pats, backend="device")
     ac._teddy_state = "force"
