@@ -198,6 +198,8 @@ class DenseScanner:
     #: the table-fetch latency — measured multi-x on both cache-resident
     #: and DRAM-resident tables)
     LANES_MIN_BYTES = 1 << 16
+    #: scans below this use a single thread (worker spawn ~50us/call)
+    THREADS_MIN_BYTES = 1 << 20
 
     def __init__(
         self,
@@ -245,15 +247,18 @@ class DenseScanner:
             cap = out_pos.shape[0]
             pp = ctypes.c_void_p(out_pos.ctypes.data)
             sp = ctypes.c_void_p(out_state.ctypes.data)
+            # worker-thread spawn costs ~50us/call; sub-MB scans get the
+            # full ILP win from in-core lane interleaving alone
+            threads = self._threads if n >= self.THREADS_MIN_BYTES else 1
             if lanes and self._cp is None:
                 found = self._lib.ac_scan_dense_lanes(
                     self._dp, self._mcp, hp, n, self._halo,
-                    self._threads, pp, sp, cap,
+                    threads, pp, sp, cap,
                 )
             elif lanes:
                 found = self._lib.ac_scan_classed_lanes(
                     self._dp, self._nc, self._cp, self._mcp, hp, n,
-                    self._halo, self._threads, pp, sp, cap,
+                    self._halo, threads, pp, sp, cap,
                 )
             elif self._cp is None:
                 found = self._lib.ac_scan_dense(

@@ -39,6 +39,7 @@ def _scan_pair(am, hay, classes=None, threads=2):
     )
     sc._threads = threads
     sc.LANES_MIN_BYTES = 0  # force the lanes path regardless of size
+    sc.THREADS_MIN_BYTES = 0  # and the multi-thread orchestration
     p2, s2 = sc.scan(hay)
     return (p1, s1), (p2, s2)
 
