@@ -329,8 +329,12 @@ def build_prefilter_candidates(
 #: ~0.017 ns/byte per m*words*passes unit, verify gathers ~20 ns/element);
 #: the *ratio* is what matters and it is hardware-shaped (gathers are
 #: latency-bound on every TPU generation, VPU ops are not), so the model
-#: transfers across chips even if both absolute costs change.
-GATHER_COST_RATIO = 1200.0
+#: transfers across chips even if both absolute costs change.  Recalibrated
+#: in round 4 for COARSE/VCHUNK = 32 (half the gather rows per window and
+#: twice the bytes amortizing each group): 1200 -> 600, which restores the
+#: measured-best m=6 pick on the LONG corpus (m=7 measured 0.55 GB/s vs
+#: m=6 at 0.66).
+GATHER_COST_RATIO = 600.0
 #: coarse verification group size — must mirror ops/scan_teddy.py COARSE
 #: (imported there; duplicated here would be a circular import).
 _COARSE = 32
