@@ -77,9 +77,15 @@ def _plan_batch_groups(lens: list[int]) -> list[list[int]]:
 
     Groups are built in descending length order, so each group's ``T`` is
     its first member's length: a group closes when adding a document would
-    either exceed :data:`BATCH_STAGE_BYTES` of staged bytes or pad the
-    document beyond :data:`_BATCH_WASTE` x its own length.  A uniform
-    batch that fits the budget comes back as one group.
+    either exceed :data:`BATCH_STAGE_BYTES` of staged bytes or waste more
+    than :data:`_BATCH_WASTE` x the document's own *achievable* staging
+    (the power-of-two T it would get in a group of its peers — a 3-byte
+    document can never stage tighter than the 16-byte floor, so tiny
+    documents group together instead of fragmenting).  Both the row count
+    and T are budget-accounted power-of-two aligned, matching what
+    ``scan_device_batch`` actually stages.  A uniform batch that fits the
+    budget comes back as one group; singleton groups are the caller's
+    signal to use the streaming single-document path.
     """
     order = sorted(range(len(lens)), key=lambda i: -lens[i])
     groups: list[list[int]] = []
@@ -87,18 +93,17 @@ def _plan_batch_groups(lens: list[int]) -> list[list[int]]:
     curT = 16
     for i in order:
         ln = max(lens[i], 1)
+        # the tightest (pow2, >=16) T this document could stage at
+        tmin = 1 << (max(ln, 16) - 1).bit_length()
+        rows = 1 << max(len(cur), 8).bit_length()  # pow2 row padding
         if cur and (
-            ln * _BATCH_WASTE < curT
-            or (len(cur) + 1) * curT > BATCH_STAGE_BYTES
+            tmin * _BATCH_WASTE < curT
+            or rows * curT > BATCH_STAGE_BYTES
         ):
             groups.append(cur)
             cur = []
         if not cur:
-            # budget-account the power-of-two-aligned T the dense batch
-            # path will actually stage (the prefiltered path's COARSE
-            # alignment is tighter), so the real buffer never exceeds
-            # BATCH_STAGE_BYTES on either path
-            curT = 1 << (max(ln, 16) - 1).bit_length()
+            curT = tmin
         cur.append(i)
     if cur:
         groups.append(cur)
@@ -146,7 +151,11 @@ class _MatcherBase:
         faster one — with a 1.2x hysteresis band and a re-probe of the
         losing device tier every 8th eligible scan so a transient slow
         measurement (cold compile, congested interconnect) cannot lock
-        the router out of the device permanently.  On healthy TPU
+        the router out of the device permanently.  The probe counter
+        advances once per scan (in ``_find``/``_find_batch``), never
+        here: the prefiltered gate and the dense gate of one scan must
+        see the same decision, and a probe scan must be able to take
+        the Teddy path.  On healthy TPU
         fabrics the device path measures faster and this gate is a
         no-op; on hosts where transfer bandwidth starves the device
         tier (or with very fast host scans) auto keeps the user on the
@@ -160,7 +169,6 @@ class _MatcherBase:
             return True  # explore the device tier first
         if host is None:
             return False  # one host-tier sample completes the comparison
-        self._probe_ctr += 1
         if dev * 1.2 < host and self._probe_ctr % 8 != 0:
             return False
         return True
@@ -597,6 +605,8 @@ class _MatcherBase:
             raise ValueError(_OVERLAPPING_ERROR)
         backend = self._backend
         total = sum(len(d) for d in docs)
+        if backend == "auto" and total >= DEVICE_TIER_MIN:
+            self._probe_ctr += 1  # one router tick per batch
         if backend == "auto":
             use_device = (
                 total >= DEVICE_TIER_MIN
@@ -629,18 +639,21 @@ class _MatcherBase:
                     [] for _ in docs
                 ]
                 counted = total
+                excluded = 0.0
                 for idxs in groups:
-                    if (
-                        len(idxs) == 1
-                        and len(docs[idxs[0]]) > BATCH_STAGE_BYTES
-                    ):
-                        # over-budget single document: the streaming
-                        # single-doc path segments it (and counts its own
-                        # bytes in the scan counters)
+                    if len(idxs) == 1:
+                        # a lone document gains nothing from the [B, T]
+                        # batch kernel (whose row padding would stage
+                        # MIN_LANES x T bytes); the streaming single-doc
+                        # path segments it and counts its own
+                        # bytes/seconds, so both are excluded from this
+                        # batch's throughput record
                         counted -= len(docs[idxs[0]])
+                        t_f = time.perf_counter()
                         out_sk[idxs[0]] = self._find(
                             docs[idxs[0]], overlapping
                         )
+                        excluded += time.perf_counter() - t_f
                         continue
                     sub = [docs[i] for i in idxs]
                     with _trace("ahocorasick:scan_batch"):
@@ -654,7 +667,9 @@ class _MatcherBase:
                         )
                     for i, r in zip(idxs, res):
                         out_sk[i] = r
-                self._note_scan(counted, time.perf_counter() - t0)
+                self._note_scan(
+                    counted, time.perf_counter() - t0 - excluded
+                )
                 return out_sk
         with _trace("ahocorasick:scan_batch"):
             if use_device:
@@ -676,6 +691,8 @@ class _MatcherBase:
     ) -> list[tuple[int, int, int]]:
         if overlapping and self._matchkind is not MatchKind.Standard:
             raise ValueError(_OVERLAPPING_ERROR)
+        if self._backend == "auto" and len(hay) >= DEVICE_TIER_MIN:
+            self._probe_ctr += 1  # one router tick per scan
         t0 = time.perf_counter()
         with _trace("ahocorasick:scan"):
             occ = self._try_teddy(hay)  # sets last_backend on success

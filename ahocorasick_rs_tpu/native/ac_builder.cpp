@@ -516,6 +516,7 @@ namespace {
 struct BatchChunkResult {
   int64_t total;     // matches in this chunk (exact)
   int64_t written;   // entries compacted at the chunk's base (<= capacity)
+  int64_t required;  // chunk capacity that would have fit every slice
   bool overflow;
 };
 
@@ -528,6 +529,7 @@ static void scan_batch_chunk(const int32_t *delta, int64_t ncls,
                              BatchChunkResult *res) {
   int64_t total = 0;
   int64_t write = 0;  // relative to out0
+  int64_t required = 0;  // exact capacity need: prefix + k * max lane cnt
   bool overflow = false;
   for (int64_t g = d0; g < d1; g += L) {
     const int k = static_cast<int>(g + L <= d1 ? L : d1 - g);
@@ -560,11 +562,18 @@ static void scan_batch_chunk(const int32_t *delta, int64_t ncls,
       }
     }
     int64_t gtotal = 0;
+    int64_t gmax = 0;
     bool gover = false;
     for (int l = 0; l < k; ++l) {
       gtotal += cnt[l];
+      if (cnt[l] > gmax) gmax = cnt[l];
       if (cnt[l] > cp) gover = true;
     }
+    // this group's slices fit a chunk capacity of prefix-compacted
+    // matches + k equal slices of its densest lane (counting continues
+    // exactly past overflow, so `required` sizes ONE retry)
+    const int64_t need = total + static_cast<int64_t>(k) * gmax;
+    if (need > required) required = need;
     total += gtotal;
     if (gover || overflow) {
       overflow = true;  // keep counting exactly, stop writing
@@ -586,6 +595,7 @@ static void scan_batch_chunk(const int32_t *delta, int64_t ncls,
   }
   res->total = total;
   res->written = overflow ? 0 : write;
+  res->required = required;
   res->overflow = overflow;
 }
 
@@ -629,15 +639,20 @@ static int64_t scan_batch_lanes_impl(const int32_t *delta, int64_t ncls,
   }
   for (auto &w : workers) w.join();
   int64_t total = 0;
+  int64_t required = 0;
   bool overflow = false;
   for (int t = 0; t < T; ++t) {
     total += res[t].total;
+    if (res[t].required > required) required = res[t].required;
     overflow = overflow || res[t].overflow;
   }
   if (overflow || total > cap) {
-    // geometric retry sizing; always exceeds cap so the caller retries
-    const int64_t dbl = 2 * (total > cap ? total : cap);
-    return dbl;
+    // exact-sufficient retry sizing: a cap of T * required gives every
+    // chunk the capacity its densest group needed, so ONE retry fits
+    // (always > cap: some slice exceeded cp = cap / (T * L))
+    int64_t need = static_cast<int64_t>(T) * required;
+    if (need <= cap) need = cap + 1;
+    return need > total ? need : total;
   }
   // compact thread regions into a contiguous prefix (doc order)
   int64_t w = res[0].written;

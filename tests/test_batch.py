@@ -255,13 +255,20 @@ def test_plan_batch_groups_budget_and_waste():
     seen = sorted(i for g in groups for i in g)
     assert seen == list(range(len(lens)))
     for g in groups:
-        T = max(max(lens[i] for i in g), 16)
-        if len(g) > 1:  # single over-budget docs are allowed through
-            assert len(g) * T <= budget
+        Tp = 1 << (max(max(lens[i] for i in g), 16) - 1).bit_length()
+        rows = 1 << max(len(g) - 1, 7).bit_length()  # pow2 row padding
+        if len(g) > 1:  # singletons route via the streaming path
+            assert rows * Tp <= budget
         for i in g:
-            assert max(lens[i], 1) * api._BATCH_WASTE >= T or T <= 16
+            # waste vs the doc's *achievable* pow2 staging, not raw length
+            tmin = 1 << (max(lens[i], 16) - 1).bit_length()
+            assert tmin * api._BATCH_WASTE >= Tp
     # uniform small batches come back as ONE group (the fast path)
     assert len(api._plan_batch_groups([70] * 1000)) == 1
+    # tiny docs must not fragment (code-review r4 finding: the old waste
+    # check compared raw length against the 16-byte T floor)
+    assert len(api._plan_batch_groups([3] * 1000)) == 1
+    assert len(api._plan_batch_groups([17] + [3] * 100)) <= 2
 
 
 def test_batch_skewed_lengths_grouped(monkeypatch):

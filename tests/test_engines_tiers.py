@@ -182,11 +182,19 @@ def test_auto_router_measured_throughput_gate():
     ac._tier_bps = {"device": 1e9}
     assert not ac._auto_device_ok(1 << 22)
 
-    # device measured 10x slower than host: host wins, except the probe
+    # device measured 10x slower than host: host wins, except the probe.
+    # The counter ticks once per scan in _find/_find_batch, so the gate
+    # itself is read-only — both the Teddy gate and the dense gate of one
+    # scan see the SAME decision (a probe scan can take the Teddy path).
     ac._tier_bps = {"host": 1e9, "device": 1e8}
     ac._probe_ctr = 0
-    decisions = [ac._auto_device_ok(1 << 22) for _ in range(16)]
-    assert decisions.count(True) == 2  # two probes in 16 calls
+    decisions = []
+    for _ in range(16):
+        ac._probe_ctr += 1  # the per-scan router tick
+        first = ac._auto_device_ok(1 << 22)
+        assert first == ac._auto_device_ok(1 << 22)  # stable within a scan
+        decisions.append(first)
+    assert decisions.count(True) == 2  # two probes in 16 scans
     assert decisions[7] and decisions[15]
 
     # device measured faster: always chosen

@@ -59,9 +59,11 @@ def spawn_workers(
     tmp = tempfile.mkdtemp(prefix="mh_")
     procs = []
     outs = []
+    logs = []
     for pid in range(num_processes):
         out = os.path.join(tmp, f"proc{pid}.json")
         outs.append(out)
+        logs.append(os.path.join(tmp, f"proc{pid}.log"))
         env = dict(os.environ)
         env["XLA_FLAGS"] = (
             env.get("XLA_FLAGS", "")
@@ -99,7 +101,11 @@ def spawn_workers(
                 ],
                 env=env,
                 cwd=REPO,
-                stdout=subprocess.PIPE,
+                # log files, NOT pipes: a worker that fills a 64KB pipe
+                # buffer while the parent waits on a sibling would stall
+                # inside a collective and deadlock the whole run
+                # (code-review r4 finding)
+                stdout=open(logs[pid], "w"),
                 stderr=subprocess.STDOUT,
                 text=True,
             )
@@ -108,23 +114,29 @@ def spawn_workers(
     failures = []
     for pid, p in enumerate(procs):
         try:
-            stdout, _ = p.communicate(timeout=timeout)
+            p.communicate(timeout=timeout)
         except subprocess.TimeoutExpired:
             p.kill()
-            stdout, _ = p.communicate()
-            failures.append((pid, "timeout", stdout))
+            p.communicate()
+            failures.append((pid, "timeout"))
             continue
         if p.returncode != 0:
-            failures.append((pid, f"exit {p.returncode}", stdout))
+            failures.append((pid, f"exit {p.returncode}"))
             continue
         with open(outs[pid]) as f:
             records.append(json.load(f))
     if failures:
-        msgs = "\n".join(
-            f"--- process {pid} ({why}) ---\n{tail[-2000:]}"
-            for pid, why, tail in failures
+        parts = []
+        for pid, why in failures:
+            try:
+                with open(logs[pid]) as f:
+                    tail = f.read()[-2000:]
+            except OSError:
+                tail = "<no log>"
+            parts.append(f"--- process {pid} ({why}) ---\n{tail}")
+        raise RuntimeError(
+            "multihost workers failed:\n" + "\n".join(parts)
         )
-        raise RuntimeError(f"multihost workers failed:\n{msgs}")
     return records
 
 

@@ -6,8 +6,7 @@ inference:
 * every function/method parameter is annotated (``disallow_untyped_defs``),
 * every function/method has a return annotation,
 * no implicit Optional: a parameter defaulting to ``None`` must spell an
-  optional type (``Optional[...]``, ``... | None`` or ``Any``),
-* module-level ``__all__`` names must be defined.
+  optional type (``Optional[...]``, ``... | None`` or ``Any``).
 
 ``mypy --strict`` itself runs in CI (gating, ``.github/workflows/main.yml``)
 where it is installable; this checker is the dev-rig gate that keeps the
