@@ -34,3 +34,8 @@ probe:
 # Sharded-scan scaling measurement (virtual mesh; writes SCALING_r03.json).
 scaling:
     python tools/scaling_bench.py
+
+# Device-path conformance on the real TPU (tests force CPU; this runs the
+# dense/classed/Teddy device kernels against the host oracle on hardware).
+tpu-conformance:
+    python tools/tpu_conformance.py
