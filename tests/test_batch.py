@@ -215,11 +215,25 @@ if _HAVE_HYPOTHESIS:
             ]
         ),
         backend=st.sampled_from(["auto", "device"]),
+        stage_budget=st.sampled_from([None, 64, 256]),
     )
-    def test_batch_equals_loop_property(docs, kind, backend):
+    def test_batch_equals_loop_property(docs, kind, backend, stage_budget):
         """The global-resolve batch pipeline == the per-doc loop, for any
-        document mix (empty docs, boundary-adjacent matches, repeats)."""
+        document mix (empty docs, boundary-adjacent matches, repeats) —
+        including under tiny staging budgets that force the grouped
+        multi-dispatch path."""
+        from ahocorasick_rs_tpu import api
+
         pats = ["a", "ab", "abc", "ca b", "bb"]
+        orig = api.BATCH_STAGE_BYTES
+        if stage_budget is not None:
+            api.BATCH_STAGE_BYTES = stage_budget
+        try:
+            _run_batch_property(docs, kind, backend, pats)
+        finally:
+            api.BATCH_STAGE_BYTES = orig
+
+    def _run_batch_property(docs, kind, backend, pats):
         ac = AhoCorasick(pats, matchkind=kind, backend=backend)
         want = [ac.find_matches_as_indexes(d) for d in docs]
         assert ac.find_matches_as_indexes_batch(docs) == want
