@@ -70,6 +70,10 @@ BATCH_STAGE_BYTES = 128 << 20
 #: grouping pads a document to at most this factor of its own length
 #: (plus alignment) — bounds per-document staging waste under skew.
 _BATCH_WASTE = 4
+#: the waste rule only engages once a group stages at least this much:
+#: below it, splitting to save padding costs more (an extra dispatch,
+#: 10-30ms on some fabrics) than the padding it saves.
+_WASTE_MIN_BYTES = 1 << 20
 
 
 def _plan_batch_groups(lens: list[int]) -> list[list[int]]:
@@ -77,15 +81,17 @@ def _plan_batch_groups(lens: list[int]) -> list[list[int]]:
 
     Groups are built in descending length order, so each group's ``T`` is
     its first member's length: a group closes when adding a document would
-    either exceed :data:`BATCH_STAGE_BYTES` of staged bytes or waste more
-    than :data:`_BATCH_WASTE` x the document's own *achievable* staging
-    (the power-of-two T it would get in a group of its peers — a 3-byte
-    document can never stage tighter than the 16-byte floor, so tiny
-    documents group together instead of fragmenting).  Both the row count
-    and T are budget-accounted power-of-two aligned, matching what
-    ``scan_device_batch`` actually stages.  A uniform batch that fits the
-    budget comes back as one group; singleton groups are the caller's
-    signal to use the streaming single-document path.
+    either exceed :data:`BATCH_STAGE_BYTES` of staged bytes, or — once the
+    group already stages :data:`_WASTE_MIN_BYTES` — waste more than
+    :data:`_BATCH_WASTE` x the document's own *achievable* staging (the
+    power-of-two T it would get among its peers; a 3-byte document can
+    never stage tighter than the 16-byte floor, so tiny documents group
+    together instead of fragmenting, and sub-MB groups never split at
+    all — an extra dispatch costs more than the padding it saves).  Both
+    the row count and T are budget-accounted power-of-two aligned,
+    matching what ``scan_device_batch`` actually stages.  A uniform batch
+    that fits the budget comes back as one group; singleton groups are
+    the caller's signal to use the streaming single-document path.
     """
     order = sorted(range(len(lens)), key=lambda i: -lens[i])
     groups: list[list[int]] = []
@@ -96,8 +102,9 @@ def _plan_batch_groups(lens: list[int]) -> list[list[int]]:
         # the tightest (pow2, >=16) T this document could stage at
         tmin = 1 << (max(ln, 16) - 1).bit_length()
         rows = 1 << max(len(cur), 8).bit_length()  # pow2 row padding
+        staged = (len(cur) + 1) * curT
         if cur and (
-            tmin * _BATCH_WASTE < curT
+            (tmin * _BATCH_WASTE < curT and staged >= _WASTE_MIN_BYTES)
             or rows * curT > BATCH_STAGE_BYTES
         ):
             groups.append(cur)

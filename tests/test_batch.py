@@ -273,16 +273,28 @@ def test_plan_batch_groups_budget_and_waste():
         rows = 1 << max(len(g) - 1, 7).bit_length()  # pow2 row padding
         if len(g) > 1:  # singletons route via the streaming path
             assert rows * Tp <= budget
-        for i in g:
-            # waste vs the doc's *achievable* pow2 staging, not raw length
+        for k, i in enumerate(g):
+            # waste vs the doc's *achievable* pow2 staging, not raw
+            # length — enforced only once the group stages >= the
+            # waste-rule floor (below it an extra dispatch costs more)
             tmin = 1 << (max(lens[i], 16) - 1).bit_length()
-            assert tmin * api._BATCH_WASTE >= Tp
+            assert (
+                tmin * api._BATCH_WASTE >= Tp
+                or (k + 1) * Tp < api._WASTE_MIN_BYTES
+            )
     # uniform small batches come back as ONE group (the fast path)
     assert len(api._plan_batch_groups([70] * 1000)) == 1
     # tiny docs must not fragment (code-review r4 finding: the old waste
     # check compared raw length against the 16-byte T floor)
     assert len(api._plan_batch_groups([3] * 1000)) == 1
     assert len(api._plan_batch_groups([17] + [3] * 100)) <= 2
+    # sub-MB mixed batches stay in ONE group (an extra dispatch costs
+    # more than the padding) — the dryrun_multichip batch shape
+    assert len(api._plan_batch_groups([679, 582, 97, 0, 291, 45])) == 1
+    # ...but a huge-T group still sheds tiny docs once it stages >= 1MB
+    skew = api._plan_batch_groups([60_000] + [100] * 40_000)
+    assert len(skew) > 1
+    assert max(len(g) for g in skew) > 1000  # tinies grouped, not shards
 
 
 def test_batch_skewed_lengths_grouped(monkeypatch):
