@@ -101,7 +101,9 @@ def _plan_batch_groups(lens: list[int]) -> list[list[int]]:
         ln = max(lens[i], 1)
         # the tightest (pow2, >=16) T this document could stage at
         tmin = 1 << (max(ln, 16) - 1).bit_length()
-        rows = 1 << max(len(cur), 8).bit_length()  # pow2 row padding
+        # pow2 ceiling of the row count after adding this doc, floored
+        # at scan_device_batch's MIN_LANES=8 row padding
+        rows = 1 << max(len(cur), 7).bit_length()
         staged = (len(cur) + 1) * curT
         if cur and (
             (tmin * _BATCH_WASTE < curT and staged >= _WASTE_MIN_BYTES)
@@ -637,7 +639,11 @@ class _MatcherBase:
         t0 = time.perf_counter()
         if use_device:
             groups = _plan_batch_groups([len(d) for d in docs])
-            if len(groups) > 1:
+            if len(groups) > 1 or (groups and len(groups[0]) == 1):
+                # also taken for a single singleton group: ONE document
+                # must stream (the batch kernel would stage MIN_LANES x
+                # pow2(T) — for a 300MB doc that is a 4GB buffer and an
+                # int32 overflow in compaction)
                 # Length-skewed batch: per-group dispatches keep the
                 # staged [B, T] buffer within BATCH_STAGE_BYTES (see
                 # _plan_batch_groups); per-document results scatter back
@@ -647,6 +653,7 @@ class _MatcherBase:
                 ]
                 counted = total
                 excluded = 0.0
+                batch_tier = None
                 for idxs in groups:
                     if len(idxs) == 1:
                         # a lone document gains nothing from the [B, T]
@@ -674,6 +681,11 @@ class _MatcherBase:
                         )
                     for i, r in zip(idxs, res):
                         out_sk[i] = r
+                    batch_tier = self._last_backend
+                if batch_tier is not None:
+                    # a trailing streamed singleton must not classify the
+                    # batched bytes under its (host) tier in the router EMA
+                    self._last_backend = batch_tier
                 self._note_scan(
                     counted, time.perf_counter() - t0 - excluded
                 )

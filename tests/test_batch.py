@@ -472,3 +472,44 @@ def test_auto_routing_amortizes_table_upload():
     # host tiers first, device (or its teddy variant) once amortized
     assert backends[0] in ("native", "numpy")
     assert backends[-1] in ("device", "teddy", "teddy_sharded")
+
+
+def test_plan_batch_groups_row_floor_is_min_lanes():
+    """12 x 10MB docs: 8 rows x 16MB stages exactly the 128MB budget, so
+    the planner must form an 8-doc group, not twelve singletons (the row
+    padding floor is scan_device_batch's MIN_LANES=8)."""
+    from ahocorasick_rs_tpu import api
+
+    groups = api._plan_batch_groups([10 * (1 << 20)] * 12)
+    assert max(len(g) for g in groups) == 8
+
+
+def test_single_doc_forced_device_batch_streams(monkeypatch):
+    """A 1-document batch over the staging budget streams through the
+    single-doc path even when it is the ONLY group (the batch kernel
+    would stage MIN_LANES x pow2(T))."""
+    from ahocorasick_rs_tpu import api
+
+    monkeypatch.setattr(api, "BATCH_STAGE_BYTES", 1 << 12)
+    doc = "z" * 5000 + "needle" + "z" * 2000
+    ac = AhoCorasick(["needle"], backend="device")
+    want = [ac.find_matches_as_indexes(doc)]
+    assert ac.find_matches_as_indexes_batch([doc]) == want
+
+
+def test_grouped_batch_tier_not_overwritten_by_singleton(monkeypatch):
+    """A trailing streamed singleton must not reclassify the batched
+    bytes' tier in stats()/the router EMA."""
+    from ahocorasick_rs_tpu import api
+
+    monkeypatch.setattr(api, "BATCH_STAGE_BYTES", 1 << 16)
+    monkeypatch.setattr(api, "_WASTE_MIN_BYTES", 1 << 10)
+    docs = ["a" * 3000 + "needle", "b" * 3000, "pin"]  # [[0,1],[2]] plan
+    plan = api._plan_batch_groups([len(d) for d in docs])
+    assert [len(g) for g in plan] == [2, 1]
+    ac = AhoCorasick(["needle", "pin"], backend="device")
+    want = [ac.find_matches_as_indexes(d) for d in docs]
+    assert ac.find_matches_as_indexes_batch(docs) == want
+    assert ac.stats()["last_backend"] in (
+        "device_batch", "teddy_batch", "sharded_batch"
+    )
