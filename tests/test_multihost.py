@@ -53,3 +53,20 @@ def test_two_process_distributed_bit_exact():
             assert got["digest"] == want["digest"], name
     # both processes agree with each other (replicated fetch)
     assert records[0]["semantics"] == records[1]["semantics"]
+
+
+@pytest.mark.timeout(300)
+def test_four_process_distributed_agrees():
+    """4 processes x 2 devices: digests agree across all processes and
+    with single-process truth (generality beyond the 2-process case)."""
+    runner = _load_runner()
+    nbytes = 1 << 20
+    records = runner.spawn_workers(
+        num_processes=4, devices_per_process=2, nbytes=nbytes
+    )
+    assert len(records) == 4
+    assert all(r["devices"] == 8 for r in records)
+    truth = runner.single_process_truth(nbytes)
+    for r in records:
+        for name, want in truth.items():
+            assert r["semantics"][name]["digest"] == want["digest"], name
