@@ -173,7 +173,13 @@ def test_overlapping() -> None:
     assert got == expected
     for kind in (MatchKind.LeftmostFirst, MatchKind.LeftmostLongest):
         ac_bad = BytesAhoCorasick(WINTER_PATTERNS, matchkind=kind)
-        with pytest.raises(ValueError):
+        with pytest.raises(
+            ValueError,
+            match=(
+                "overlapping searches require a searcher with Standard "
+                f"semantics, but this searcher has {kind.name} semantics"
+            ),
+        ):
             ac_bad.find_matches_as_indexes(WINTER, overlapping=True)
 
 

@@ -86,10 +86,17 @@ def test_iterator_of_patterns(store_patterns: Optional[bool]) -> None:
 
 
 def test_bad_iterators() -> None:
-    """TypeError pass-through (/root/reference/tests/test_ac.py:75-83)."""
+    """TypeError pass-through (/root/reference/tests/test_ac.py:75-83).
+
+    The non-str item raises PyO3's downcast TypeError text
+    (/root/reference/src/lib.rs:149) — pinned here; the CI differential
+    job re-checks the string against the real binary."""
     with pytest.raises(TypeError):
         AhoCorasick(None)  # type: ignore[arg-type]
-    with pytest.raises(TypeError):
+    with pytest.raises(
+        TypeError,
+        match="'int' object cannot be converted to 'PyString'",
+    ):
         AhoCorasick(["x", 12])  # type: ignore[list-item]
 
 
@@ -203,11 +210,18 @@ def test_overlapping_readme_example() -> None:
 )
 def test_overlapping_requires_standard(matchkind) -> None:
     """ValueError for overlapping + leftmost kinds
-    (/root/reference/tests/test_ac.py:271-275,291-292)."""
+    (/root/reference/tests/test_ac.py:271-275,291-292), with the crate's
+    MatchError text the reference surfaces verbatim
+    (/root/reference/src/lib.rs:36-39,50-55) — the CI differential job
+    re-checks this string against the real binary."""
+    expected = (
+        "overlapping searches require a searcher with Standard "
+        f"semantics, but this searcher has {matchkind.name} semantics"
+    )
     ac = AhoCorasick(WINTER_PATTERNS, matchkind=matchkind)
-    with pytest.raises(ValueError):
+    with pytest.raises(ValueError, match=expected):
         ac.find_matches_as_strings(WINTER_HAYSTACK, overlapping=True)
-    with pytest.raises(ValueError):
+    with pytest.raises(ValueError, match=expected):
         ac.find_matches_as_indexes(WINTER_HAYSTACK, overlapping=True)
 
 
