@@ -134,8 +134,73 @@ def _load() -> Optional[ctypes.CDLL]:
             _i32p, ctypes.c_int64, _i32p, _i32p, _i8p, _i64p,
             ctypes.c_int64, ctypes.c_int32, _i64p, _i32p, ctypes.c_int64,
         ]
+        lib.ac_resolve_dense.restype = ctypes.c_int64
+        lib.ac_resolve_dense.argtypes = [
+            _i32p, _i64p, _i32p, _i32p, _i8p, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, _i64p, _i64p, _i64p,
+            ctypes.c_int64,
+        ]
+        lib.ac_resolve_classed.restype = ctypes.c_int64
+        lib.ac_resolve_classed.argtypes = [
+            _i32p, ctypes.c_int64, _i32p, _i64p, _i32p, _i32p, _i8p,
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, _i64p, _i64p,
+            _i64p, ctypes.c_int64,
+        ]
         _lib = lib
         return _lib
+
+
+#: match-kind name -> the native resolver's kind code
+_RESOLVE_KIND = {"standard": 0, "leftmost_first": 1, "leftmost_longest": 2}
+
+
+def resolve_scan_native(
+    am: "Automaton",
+    hay: np.ndarray,
+    kind: str,
+    classes: Optional[np.ndarray] = None,
+    delta: Optional[np.ndarray] = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fused scan + non-overlapping resolution (``ac_resolve_dense``).
+
+    One native pass over ``hay`` producing the KEPT matches directly —
+    O(output + max_len) memory at any match density, the guard for the
+    occurrence-set engine's O(n * nesting) blowup on nested pattern sets
+    over repetitive corpora (VERDICT r4; the reference's walk is O(n),
+    /root/reference/src/lib.rs:59).  ``delta``/``classes`` select the
+    dense or byte-classed table; the GIL is released for the whole walk.
+    """
+    lib = _load()
+    assert lib is not None
+    if delta is None:
+        delta = am.delta
+    hay = np.ascontiguousarray(hay, dtype=np.uint8)
+    n = len(hay)
+    kcode = _RESOLVE_KIND[kind]
+    cap = 4096
+    while True:
+        out_pid = np.empty(cap, dtype=np.int64)
+        out_start = np.empty(cap, dtype=np.int64)
+        out_end = np.empty(cap, dtype=np.int64)
+        if classes is None:
+            total = lib.ac_resolve_dense(
+                delta, am.match_offsets, am.match_pids, am.match_lens,
+                hay, n, kcode, am.max_len, out_pid, out_start, out_end,
+                cap,
+            )
+        else:
+            total = lib.ac_resolve_classed(
+                delta, delta.shape[1], classes, am.match_offsets,
+                am.match_pids, am.match_lens, hay, n, kcode, am.max_len,
+                out_pid, out_start, out_end, cap,
+            )
+        if total <= cap:
+            return (
+                out_pid[:total],
+                out_start[:total],
+                out_end[:total],
+            )
+        cap = int(total)
 
 
 def scan_dense_native(

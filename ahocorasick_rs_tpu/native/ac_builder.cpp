@@ -415,7 +415,8 @@ static int64_t scan_lanes_impl(const int32_t *delta, int64_t ncls,
                                int32_t threads, int64_t *out_pos,
                                int32_t *out_state, int64_t cap) {
   constexpr int L = 16;
-  int T = threads < 1 ? 1 : (threads > 16 ? 16 : threads);
+  constexpr int MAX_T = 16;  // thread clamp; res[] below is sized by it
+  int T = threads < 1 ? 1 : (threads > MAX_T ? MAX_T : threads);
   // every lane must be long enough that the interleave pays and the halo
   // fits well inside the segment
   const int64_t min_seg = halo > 64 ? 2 * static_cast<int64_t>(halo) : 128;
@@ -430,7 +431,9 @@ static int64_t scan_lanes_impl(const int32_t *delta, int64_t ncls,
   const int64_t total_lanes = static_cast<int64_t>(T) * L;
   const int64_t cp = cap / total_lanes;
   const int64_t chunk = n / T;
-  LaneResult res[2 * L * 8];  // up to 16 threads x 8 lanes
+  LaneResult res[MAX_T * L];  // one slot per (thread, lane)
+  static_assert(sizeof(res) / sizeof(res[0]) == MAX_T * L,
+                "res[] must cover the thread clamp x lane count");
   std::vector<std::thread> workers;
   for (int t = 0; t < T; ++t) {
     const int64_t b = static_cast<int64_t>(t) * chunk;
@@ -694,6 +697,185 @@ int64_t ac_scan_classed_batch_lanes(const int32_t *delta, int64_t num_classes,
   return scan_batch_lanes_impl<true>(delta, num_classes, classes,
                                      match_count, buf, offsets, ndocs,
                                      threads, out_pos, out_state, cap);
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Fused scan + non-overlapping semantics resolution.
+//
+// The package's semantics engine reduces the COMPLETE occurrence set
+// (expand + sort + greedy restart sweep, ops/resolve.py) — O(n * nesting)
+// memory and work on match-dense corpora like ["a","aa",...,"a"*64] over
+// gigabytes of "a", where the reference's automaton walk is O(n)
+// (/root/reference/src/lib.rs:59, SURVEY.md §3.6.1).  This resolver is the
+// native equivalent of that walk: ONE pass over the haystack carrying the
+// greedy restart cursor directly, so no occurrence set ever exists —
+// O(output + max_len ring) memory at any density.
+//
+// Equivalence with the occurrence-set engine (pinned by
+// tests/test_native_resolve.py and the differential fuzzer):
+//  * standard — priority (end asc, len desc, pid asc).  At end e the
+//    state's match CSR is ordered (len non-increasing, pid asc within a
+//    length), so the first entry with len <= e - cur is the kept match;
+//    cur becomes e.
+//  * leftmost kinds — priority (start asc, then pid / then len desc, pid).
+//    A candidate starting at s is created only by ends in (s, s+max_len],
+//    so a max_len-slot ring holds the best candidate per start; slot s is
+//    decided when the walk reaches position s + max_len (all its
+//    candidates are in), in ascending start order, against the same
+//    cursor.
+//
+// Emission contract matches the other scanners: counting continues past
+// cap, writes stop, caller retries with the returned total.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct BestCand {
+  int32_t len;  // 0 = empty slot
+  int32_t pid;
+};
+
+// KIND is a compile-time template parameter (0 standard, 1 leftmost_first,
+// 2 leftmost_longest) so the per-CSR-entry priority compare has no runtime
+// branch; the ring is power-of-two sized so the slot index is a mask, not a
+// modulo (an i64 division per occurrence dominated the first version —
+// 2 MB/s on the nested-64 corpus).  Ring slots stay collision-free: the
+// in-flight start window has max_len <= ring_size entries, and slot
+// (s + ring_size) is first written at e > s + max_len, after slot s was
+// finalized and cleared at e = s + max_len + 1.
+template <bool CLASSED, int KIND>
+static int64_t resolve_scan_impl(
+    const int32_t *delta, int64_t ncls, const int32_t *classes,
+    const int64_t *moff, const int32_t *mpids, const int32_t *mlens,
+    const uint8_t *hay, int64_t n, int32_t max_len,
+    int64_t *out_pid, int64_t *out_start, int64_t *out_end, int64_t cap) {
+  int64_t total = 0;
+  int64_t cur = 0;
+  int32_t state = 0;
+  const int64_t stride = CLASSED ? ncls : 257;
+  int64_t rsize = 1;
+  while (rsize < max_len) rsize <<= 1;
+  const int64_t rmask = rsize - 1;
+  std::vector<BestCand> ring;
+  if (KIND != 0) ring.assign(static_cast<size_t>(rsize), BestCand{0, 0});
+  BestCand *const rg = ring.data();
+
+  auto emit = [&](int64_t pid, int64_t s, int64_t e) {
+    if (total < cap) {
+      out_pid[total] = pid;
+      out_start[total] = s;
+      out_end[total] = e;
+    }
+    ++total;
+  };
+  // decide the start leaving the ring window against the greedy cursor
+  auto finalize = [&](int64_t s) {
+    BestCand &b = rg[s & rmask];
+    if (b.len) {
+      if (s >= cur) {
+        emit(b.pid, s, s + b.len);
+        cur = s + b.len;
+      }
+      b.len = 0;
+    }
+  };
+
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t c =
+        CLASSED ? classes[hay[i]] : static_cast<int32_t>(hay[i]);
+    state = delta[static_cast<int64_t>(state) * stride + c];
+    const int64_t e = i + 1;
+    if (KIND != 0 && i >= max_len) finalize(i - max_len);
+    const int64_t lo = moff[state];
+    const int64_t hi = moff[state + 1];
+    if (lo == hi) continue;
+    if (KIND == 0) {
+      // first CSR entry with len <= e - cur (lens non-increasing)
+      const int64_t target = e - cur;
+      if (target <= 0) continue;
+      int64_t k = lo;
+      if (hi - lo > 4) {
+        int64_t a = lo, b2 = hi;
+        while (a < b2) {
+          const int64_t mid = (a + b2) / 2;
+          if (mlens[mid] <= target) b2 = mid; else a = mid + 1;
+        }
+        k = a;
+      } else {
+        while (k < hi && mlens[k] > target) ++k;
+      }
+      if (k < hi) {
+        emit(mpids[k], e - mlens[k], e);
+        cur = e;
+      }
+    } else {
+      for (int64_t k = lo; k < hi; ++k) {
+        const int32_t len = mlens[k];
+        const int32_t pid = mpids[k];
+        BestCand &b = rg[(e - len) & rmask];
+        const bool better =
+            b.len == 0 ||
+            (KIND == 1 ? (pid < b.pid)
+                       : (len > b.len || (len == b.len && pid < b.pid)));
+        if (better) b = BestCand{len, pid};
+      }
+    }
+  }
+  if (KIND != 0) {
+    for (int64_t s = (n > max_len ? n - max_len : 0); s < n; ++s)
+      finalize(s);
+  }
+  return total;
+}
+
+template <bool CLASSED>
+static int64_t resolve_scan_dispatch(
+    const int32_t *delta, int64_t ncls, const int32_t *classes,
+    const int64_t *moff, const int32_t *mpids, const int32_t *mlens,
+    const uint8_t *hay, int64_t n, int32_t kind, int32_t max_len,
+    int64_t *out_pid, int64_t *out_start, int64_t *out_end, int64_t cap) {
+  switch (kind) {
+    case 1:
+      return resolve_scan_impl<CLASSED, 1>(delta, ncls, classes, moff,
+                                           mpids, mlens, hay, n, max_len,
+                                           out_pid, out_start, out_end, cap);
+    case 2:
+      return resolve_scan_impl<CLASSED, 2>(delta, ncls, classes, moff,
+                                           mpids, mlens, hay, n, max_len,
+                                           out_pid, out_start, out_end, cap);
+    default:
+      return resolve_scan_impl<CLASSED, 0>(delta, ncls, classes, moff,
+                                           mpids, mlens, hay, n, max_len,
+                                           out_pid, out_start, out_end, cap);
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t ac_resolve_dense(const int32_t *delta, const int64_t *moff,
+                         const int32_t *mpids, const int32_t *mlens,
+                         const uint8_t *hay, int64_t n, int32_t kind,
+                         int32_t max_len, int64_t *out_pid,
+                         int64_t *out_start, int64_t *out_end, int64_t cap) {
+  return resolve_scan_dispatch<false>(delta, 257, nullptr, moff, mpids,
+                                      mlens, hay, n, kind, max_len, out_pid,
+                                      out_start, out_end, cap);
+}
+
+int64_t ac_resolve_classed(const int32_t *delta, int64_t num_classes,
+                           const int32_t *classes, const int64_t *moff,
+                           const int32_t *mpids, const int32_t *mlens,
+                           const uint8_t *hay, int64_t n, int32_t kind,
+                           int32_t max_len, int64_t *out_pid,
+                           int64_t *out_start, int64_t *out_end,
+                           int64_t cap) {
+  return resolve_scan_dispatch<true>(delta, num_classes, classes, moff,
+                                     mpids, mlens, hay, n, kind, max_len,
+                                     out_pid, out_start, out_end, cap);
 }
 
 }  // extern "C"

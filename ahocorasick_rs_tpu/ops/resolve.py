@@ -27,9 +27,23 @@ start is >= ``i``, breaking same-end ties by maximal length then pattern id.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 
 from ..models.automaton import Automaton
+
+
+class MatchDenseError(RuntimeError):
+    """A device scan bailed out on extreme matched-position density.
+
+    Compacting O(n) matched positions on device and expanding their
+    occurrence sets on host costs far more than the scan itself in the
+    adversarial regime (nested patterns over repetitive corpora); the
+    device tiers raise this instead, and ``api._find`` re-routes to the
+    host resolve paths whose complexity matches the reference's O(n)
+    walk (the fused native resolver / streamed resolve).
+    """
 
 
 def expand_occurrences(
@@ -110,22 +124,26 @@ def resolve_from_scan_small(
 _VECTOR_THRESHOLD = 16384
 
 
-def _greedy_chain_indexes(starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+def _greedy_chain_indexes(
+    starts: np.ndarray, ends: np.ndarray, cur0: int = 0
+) -> np.ndarray:
     """Kept indexes of the greedy restart sweep over priority-ordered arrays.
 
-    The sweep keeps element 0, then repeatedly jumps to the first later
+    The sweep keeps the first element whose ``start`` is >= ``cur0`` (the
+    restart cursor carried in from a previous stream segment; 0 for a
+    whole-input resolve), then repeatedly jumps to the first later
     element whose ``start`` is >= the kept element's ``end``.  Because
     ``start < end`` for every occurrence, the jump target always lies
     strictly later in the array, so the kept set is exactly the nodes
-    reachable from 0 through the jump pointer — computed here with
-    O(M log M) pointer doubling instead of a python loop.
+    reachable from the entry node through the jump pointer — computed
+    here with O(M log M) pointer doubling instead of a python loop.
     """
     M = len(starts)
     if M <= _VECTOR_THRESHOLD:
         s_l = starts.tolist()
         e_l = ends.tolist()
         keep = []
-        cur = 0
+        cur = cur0
         for i in range(M):
             if s_l[i] >= cur:
                 keep.append(i)
@@ -137,10 +155,11 @@ def _greedy_chain_indexes(starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
     # suffix-min of original indexes over the start-sorted order
     sufmin = np.minimum.accumulate(order[::-1])[::-1]
     sufmin = np.concatenate([sufmin, [M]])
+    entry = sufmin[np.searchsorted(sorted_starts, cur0, side="left")]
     jump = sufmin[np.searchsorted(sorted_starts, ends, side="left")]
     jump = np.concatenate([jump, [M]])  # sentinel self-loop target
     mark = np.zeros(M + 1, dtype=bool)
-    mark[0] = True
+    mark[entry] = True
     while True:
         new = jump[np.nonzero(mark)[0]]
         before = mark.sum()
@@ -204,6 +223,109 @@ def resolve(
     return list(
         zip(pids.tolist(), starts.tolist(), ends.tolist())
     )
+
+
+class StreamResolver:
+    """Greedy restart sweep over an occurrence *stream* (bounded memory).
+
+    The vectorized :func:`resolve` materializes the complete occurrence
+    set first — O(n * nesting) host memory on adversarial inputs like
+    ``["a", "aa", ..., "a"*64]`` over gigabytes of ``"a"`` where the
+    reference's automaton walk is O(n) with restart skipping
+    (/root/reference/src/lib.rs:59, SURVEY.md §3.6.1).  This class
+    factorizes every public semantic across stream segments so peak
+    memory is O(kept + one segment's occurrences):
+
+    * ``feed(pids, starts, ends, bound)`` consumes one chunk in canonical
+      (end asc, len desc, pid asc) order — :func:`expand_occurrences`
+      output for an ascending position range.  ``bound`` is the chunk's
+      position horizon: every occurrence of every LATER chunk must have
+      ``end > bound``.
+    * ``standard`` streams directly: the priority order is end-major, so
+      a chunk's decisions are final; only the restart cursor crosses
+      chunks.
+    * leftmost kinds sort start-major, and a later chunk's occurrences
+      all have ``start > bound - max_len`` (``len <= max_len``); chunk
+      occurrences at or below that frontier are decided now, the (at
+      most ``max_len``-window) tail is carried into the next chunk.
+    * ``overlapping`` keeps everything — the output IS the occurrence
+      stream, which is the reference's contract too.
+
+    Equivalence with the one-shot resolve is pinned by
+    ``tests/test_resolve_stream.py`` and the differential fuzzer's
+    large-haystack cases.
+    """
+
+    def __init__(self, kind: str, overlapping: bool, max_len: int) -> None:
+        self.kind = kind
+        self.overlapping = overlapping
+        self.max_len = max_len
+        self._cur = 0
+        self._chunks: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        self._carry: Optional[
+            tuple[np.ndarray, np.ndarray, np.ndarray]
+        ] = None
+
+    def feed(
+        self,
+        pids: np.ndarray,
+        starts: np.ndarray,
+        ends: np.ndarray,
+        bound: int,
+    ) -> None:
+        if len(pids) == 0 and self._carry is None:
+            return
+        if self.overlapping:
+            self._chunks.append((pids, starts, ends))
+            return
+        if self.kind == "standard":
+            # already in (end asc, start asc) priority order; all future
+            # ends are > bound >= these ends, so every decision is final
+            keep = _greedy_chain_indexes(starts, ends, self._cur)
+            if len(keep):
+                self._chunks.append(
+                    (pids[keep], starts[keep], ends[keep])
+                )
+                self._cur = int(ends[keep[-1]])
+            return
+        # leftmost kinds: merge the carried tail, sort start-major,
+        # decide everything at or below the frontier, carry the rest
+        if self._carry is not None:
+            cp, cs, ce = self._carry
+            pids = np.concatenate([cp, pids])
+            starts = np.concatenate([cs, starts])
+            ends = np.concatenate([ce, ends])
+            self._carry = None
+        if self.kind == "leftmost_first":
+            order = np.lexsort((pids, starts))
+        else:
+            order = np.lexsort((pids, starts - ends, starts))
+        pids, starts, ends = pids[order], starts[order], ends[order]
+        frontier = bound - self.max_len
+        split = int(np.searchsorted(starts, frontier, side="right"))
+        if split < len(pids):
+            self._carry = (pids[split:], starts[split:], ends[split:])
+            pids, starts, ends = (
+                pids[:split], starts[:split], ends[:split]
+            )
+        keep = _greedy_chain_indexes(starts, ends, self._cur)
+        if len(keep):
+            self._chunks.append((pids[keep], starts[keep], ends[keep]))
+            self._cur = int(ends[keep[-1]])
+
+    def result(self) -> list[tuple[int, int, int]]:
+        """Flush the carried tail and return the kept match list."""
+        if self._carry is not None:
+            cp, cs, ce = self._carry
+            self._carry = None
+            keep = _greedy_chain_indexes(cs, ce, self._cur)
+            if len(keep):
+                self._chunks.append((cp[keep], cs[keep], ce[keep]))
+                self._cur = int(ce[keep[-1]])
+        out: list[tuple[int, int, int]] = []
+        for p, s, e in self._chunks:
+            out.extend(zip(p.tolist(), s.tolist(), e.tolist()))
+        return out
 
 
 def resolve_batch(

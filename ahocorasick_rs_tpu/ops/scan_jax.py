@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models.automaton import Automaton, PAD_BYTE
+from .resolve import MatchDenseError
 
 #: target time-axis length; lanes are derived from it.  Short-and-wide
 #: layouts amortize per-step overhead (measured optimum T ≈ 256–1024).
@@ -44,6 +45,10 @@ MAX_LANES = 1 << 16
 #: haystack bytes per device segment; larger inputs stream through
 #: independent halo'd segments, bounding HBM for the [T, L] state buffer.
 SEGMENT_BYTES = 256 << 20
+#: compaction-overflow totals past max(this, segment/8) raise
+#: :class:`~..ops.resolve.MatchDenseError` instead of growing the cap
+#: toward the segment length (density bailout; api._find re-routes)
+DENSE_BAILOUT_MIN = 1 << 22
 
 
 def build_lanes(
@@ -557,6 +562,13 @@ def scan_device(
             total = int(total)
             if total <= cap:
                 break
+            if total > max(DENSE_BAILOUT_MIN, m // 8):
+                # match-dense corpus: growing the compaction capacity
+                # toward n and expanding occurrence sets on host is the
+                # wrong complexity class — let the host resolver take it
+                raise MatchDenseError(
+                    f"{total} matched positions in a {m}-byte segment"
+                )
             cap = _bucket(total, lo=4096)
         tables.last_cap = max(4096, _bucket(total, lo=4096))
         pos = pos[:total].astype(np.int64)

@@ -31,7 +31,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from typing import TYPE_CHECKING
 
 from ..models.automaton import Automaton, PAD_BYTE
-from ..ops.scan_jax import DeviceTables, _bucket, compact_sparse
+from ..ops.resolve import MatchDenseError
+from ..ops.scan_jax import (
+    DENSE_BAILOUT_MIN,
+    DeviceTables,
+    _bucket,
+    compact_sparse,
+)
 
 if TYPE_CHECKING:
     from ..ops.scan_teddy import TeddyScanner
@@ -67,13 +73,19 @@ def _put_sharded(
 def _fetch(tree: object) -> object:
     """Host-fetch jitted outputs from a (possibly multi-process) mesh.
 
-    Under ``jax.distributed`` the per-device outputs live on devices of
-    several processes, so a plain ``device_get`` cannot see the remote
-    shards; ``process_allgather`` replicates them to every host (one
-    all-gather over DCN/gloo).  Single-process meshes take the direct
-    path.
+    The scan programs ``all_gather`` their compacted outputs over the
+    mesh axis *inside* the jitted computation (out_specs ``P()``), so
+    every process holds a fully-replicated result and this is a plain
+    local ``device_get`` — no per-call ``process_allgather`` (which
+    re-jits a collective and cost a fixed ~0.2s/call on gloo, the
+    dominant term of the round-4 weak-scaling deficit).  The
+    ``process_allgather`` path remains only as a fallback for arrays
+    that are not fully replicated.
     """
-    if jax.process_count() > 1:
+    leaves = jax.tree.leaves(tree)
+    if jax.process_count() > 1 and not all(
+        getattr(x, "is_fully_replicated", True) for x in leaves
+    ):
         from jax.experimental import multihost_utils
 
         return multihost_utils.process_allgather(tree, tiled=True)
@@ -136,7 +148,15 @@ def _shard_scan_fn(
         local_pos >= 0, flat_s[jnp.maximum(local_pos, 0)], -1
     )
     positions = jnp.where(local_pos >= 0, local_pos + offset, -1)
-    return positions[None], states_at[None], total[None]
+    # gather the compacted results over the mesh INSIDE the program: the
+    # output is replicated to every process, so the host fetch is a
+    # local device_get instead of a per-call host-level allgather (one
+    # XLA collective of ~cap ints, fused into this dispatch)
+    return (
+        jax.lax.all_gather(positions, axis),
+        jax.lax.all_gather(states_at, axis),
+        jax.lax.all_gather(total, axis),
+    )
 
 
 @partial(
@@ -171,7 +191,11 @@ def _sharded_scan(
         ),
         mesh=mesh,
         in_specs=(P(), P(), P(axis), P(), P()),
-        out_specs=(P(axis), P(axis), P(axis)),
+        out_specs=(P(), P(), P()),
+        # outputs are replicated BY CONSTRUCTION (each is an all_gather
+        # over the mesh axis); this jax's vma inference cannot prove
+        # that, so the check is disabled rather than worked around
+        check_vma=False,
     )
     return fn(table, classes, flat_u8, match_count, n)
 
@@ -240,13 +264,11 @@ def _shard_teddy_fn(
         vtable, classes, hay_pad, fire_pos, n_local, W, cap2, use_classes
     )
     pos_global = jnp.where(fire_pos >= 0, fire_pos + offset, -1)
-    return (
-        pos_global[None],
-        ftotal[None],
-        win[None],
-        step[None],
-        st[None],
-        mtotal[None],
+    # in-program result gather (see _shard_scan_fn): replicated outputs
+    # make the host fetch a local device_get on every process
+    return tuple(
+        jax.lax.all_gather(x, axis)
+        for x in (pos_global, ftotal, win, step, st, mtotal)
     )
 
 
@@ -293,7 +315,7 @@ def _sharded_teddy(
         ),
         mesh=mesh,
         in_specs=(P(), P(), P(), P(axis), P()),
-        out_specs=(P(axis),) * 6,
+        out_specs=(P(),) * 6,
         # pallas_call outputs carry no varying-mesh-axes metadata; skip the
         # vma check (shardings are fully explicit above)
         check_vma=False,
@@ -455,7 +477,12 @@ def _shard_batch_fn(
         local_pos >= 0, flat_s[jnp.maximum(local_pos, 0)], -1
     )
     positions = jnp.where(local_pos >= 0, local_pos + dev * (B * T), -1)
-    return positions[None], states_at[None], total[None]
+    # in-program result gather (see _shard_scan_fn)
+    return (
+        jax.lax.all_gather(positions, axis),
+        jax.lax.all_gather(states_at, axis),
+        jax.lax.all_gather(total, axis),
+    )
 
 
 @partial(
@@ -482,7 +509,9 @@ def _sharded_batch(
         ),
         mesh=mesh,
         in_specs=(P(), P(), P(axis, None), P(axis), P()),
-        out_specs=(P(axis), P(axis), P(axis)),
+        out_specs=(P(), P(), P()),
+        # replicated-by-construction all_gather outputs (see above)
+        check_vma=False,
     )
     return fn(table, classes, hay2d, lens, match_count)
 
@@ -603,6 +632,12 @@ def scan_sharded(
         worst = int(totals_np.max()) if totals_np.size else 0
         if worst <= cap:
             break
+        if worst > max(DENSE_BAILOUT_MIN, (L * T) // 8):
+            # density bailout, same contract as scan_device: the host
+            # resolve paths own the match-dense regime (api._find)
+            raise MatchDenseError(
+                f"{worst} matched positions in a {L * T}-byte shard"
+            )
         cap = _bucket(worst, lo=4096)
     tables.last_cap = max(4096, _bucket(max(worst, 1), lo=4096))
     # pos/st are host [n_dev, cap] arrays from the single fetch above

@@ -288,6 +288,69 @@ def bench_bytes_overlapping_1gb(detail: dict) -> None:
     }
 
 
+def bench_match_dense(detail: dict) -> None:
+    """Adversarial match-dense regime (VERDICT r4 weak #2): nested
+    patterns ``a, aa, ..., a*64`` over 128MB of ``"a"`` — the occurrence
+    set is 64x the haystack, where the occurrence-set engine would cost
+    O(n * 64) memory.  The density guards must land this on the fused
+    native resolver (O(output + max_len) memory, one pass).
+
+    ``leftmost_longest`` is the headline number (output n/64 matches;
+    resolver does O(occurrences) ring updates — the known cost of the
+    shared-semantics design vs the reference's per-kind automata).
+    ``standard`` is O(n log depth) time; measured at 16MB because its
+    OUTPUT is O(n) tuples by API contract (the corpus is one giant run
+    of the shortest pattern).
+    """
+    import resource
+
+    from ahocorasick_rs_tpu import BytesAhoCorasick, MatchKind
+
+    pats = [b"a" * k for k in range(1, 65)]
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    n = 128 << 20
+    hay = b"a" * n
+    ac = BytesAhoCorasick(pats, matchkind=MatchKind.LeftmostLongest)
+    # cold call: the auto router explores the device tier once, hits the
+    # MatchDenseError bailout, and records a device-EMA floor; the timed
+    # call below is the steady state every later scan sees
+    t0 = time.perf_counter()
+    got = ac.find_matches_as_indexes(hay)
+    cold_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    got = ac.find_matches_as_indexes(hay)
+    seconds = time.perf_counter() - t0
+    rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    assert len(got) == n // 64, len(got)
+    entry = {
+        "patterns": "a*1..a*64 (nested)",
+        "haystack_mb": n >> 20,
+        "occurrence_set_size": n * 64 - 64 * 63 // 2,
+        "leftmost_longest": {
+            "matches": len(got),
+            "scan_backend": ac.stats()["last_backend"],
+            "mb_per_s": round(n / seconds / 1e6, 2),
+            "cold_first_scan_seconds": round(cold_s, 2),
+            "peak_rss_delta_gb": round(max(0, rss1 - rss0) / 1e6, 3),
+        },
+    }
+    n2 = 16 << 20
+    hay2 = hay[:n2]
+    ac2 = BytesAhoCorasick(pats)
+    ac2.find_matches_as_indexes(hay2)  # cold: device explore + bailout
+    t0 = time.perf_counter()
+    got2 = ac2.find_matches_as_indexes(hay2)
+    seconds = time.perf_counter() - t0
+    assert len(got2) == n2, len(got2)
+    entry["standard_16mb"] = {
+        "matches": len(got2),
+        "scan_backend": ac2.stats()["last_backend"],
+        "mb_per_s": round(n2 / seconds / 1e6, 2),
+        "note": "output is O(n) tuples by API contract on this corpus",
+    }
+    detail["match_dense"] = entry
+
+
 def bench_sparse_device(detail: dict) -> None:
     """Forced sparse-CSR device kernel cost, on record (VERDICT r3 weak
     #7): auto-routing deliberately keeps NoncontiguousNFA scans on the
@@ -457,6 +520,7 @@ def main() -> None:
         )
 
     for section in (
+        bench_match_dense,
         bench_large_set,
         bench_million_set,
         bench_bytes_overlapping_1gb,

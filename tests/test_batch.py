@@ -297,6 +297,33 @@ def test_plan_batch_groups_budget_and_waste():
     assert max(len(g) for g in skew) > 1000  # tinies grouped, not shards
 
 
+def test_plan_batch_groups_accounts_mesh_row_roundup():
+    """On a non-power-of-two mesh the staged row count rounds up to a
+    multiple of the mesh size (scan_sharded_batch's equal-row-block
+    padding); the budget check must account for that padding, not just
+    the pow2 rows (advisor r4 finding)."""
+    from ahocorasick_rs_tpu import api
+
+    budget = 1 << 16
+    orig = api.BATCH_STAGE_BYTES
+    api.BATCH_STAGE_BYTES = budget
+    try:
+        # 1024-byte docs: pow2 T = 1024.  64 rows * 1024 = 64KB = budget,
+        # but a 7-device mesh pads 64 rows -> 70 rows = 70KB > budget, so
+        # the mesh-aware plan must close groups earlier.
+        lens = [1024] * 64
+        flat = api._plan_batch_groups(lens, n_dev=1)
+        meshy = api._plan_batch_groups(lens, n_dev=7)
+        assert len(flat) == 1
+        for g in meshy:
+            rows = 1 << max(len(g) - 1, 7).bit_length()
+            rows = -(-rows // 7) * 7
+            if len(g) > 1:
+                assert rows * 1024 <= budget
+    finally:
+        api.BATCH_STAGE_BYTES = orig
+
+
 def test_batch_skewed_lengths_grouped(monkeypatch):
     """One long + many short documents with a tiny staging budget: the
     grouped dispatch path must stage within budget and stay bit-exact

@@ -176,11 +176,19 @@ def test_auto_router_measured_throughput_gate():
     # no measurements yet: explore the device tier
     assert ac._auto_device_ok(1 << 22)
 
-    # device measured but host never sampled: force one host-tier scan so
-    # the comparison can engage (straight-to-device corpora would
-    # otherwise never discover a faster host)
+    # device measured but host never sampled: without probe material the
+    # next eligible scan samples the host tier itself
     ac._tier_bps = {"device": 1e9}
     assert not ac._auto_device_ok(1 << 22)
+
+    # ... but when the haystack is available, the missing host sample is
+    # collected by a BOUNDED probe slice (not by routing the whole
+    # request to the host): the EMA fills and the comparison engages
+    # immediately (advisor r4: no full-size host stall for one sample)
+    ac._tier_bps = {"device": 1e12}  # faster than any host scan
+    hay = np.frombuffer(b"x" * (1 << 20), dtype=np.uint8)
+    assert ac._auto_device_ok(1 << 22, hay)  # device still faster
+    assert "host" in ac._tier_bps
 
     # device measured 10x slower than host: host wins, except the probe.
     # The counter ticks once per scan in _find/_find_batch, so the gate

@@ -110,6 +110,59 @@ def gen_case(rng: np.random.Generator):
     return pats, hay
 
 
+def big_nested_check(rng: np.random.Generator) -> int:
+    """Match-dense >=1MB case: nested prefixes over repetitive corpora.
+
+    The streamed host path (small ``_STREAM_MIN`` forces it), the
+    non-streamed native/numpy tiers, and the sequential python walk are
+    three independent implementations; all must agree tuple-for-tuple on
+    the regime where occurrence sets blow up (VERDICT r4: fuzz coverage
+    beyond 4KB haystacks).  The python walk is the reference here — the
+    bytes.find oracle would enumerate the full occurrence set itself.
+    """
+    base = int(rng.integers(97, 123))
+    depth = int(rng.integers(2, 9))
+    pats = [bytes([base]) * k for k in range(1, depth + 1)]
+    for _ in range(int(rng.integers(0, 4))):
+        k = int(rng.integers(1, 6))
+        p = bytes(rng.integers(97, 123, k, dtype=np.uint8))
+        if p not in pats:
+            pats.append(p)
+    n = int(rng.integers(1 << 20, (1 << 20) + (1 << 19)))
+    style = int(rng.integers(0, 2))
+    if style == 0:
+        hay = bytes([base]) * n  # maximal density
+    else:
+        period = bytes([base]) * int(rng.integers(1, 12)) + b"!"
+        hay = (period * (n // len(period) + 1))[:n]
+    checks = 0
+    for kind in KINDS:
+        want = BytesAhoCorasick(
+            pats, matchkind=kind, backend="python"
+        ).find_matches_as_indexes(hay)
+        for backend in ("native", "numpy"):
+            ac = BytesAhoCorasick(pats, matchkind=kind, backend=backend)
+            # force the streamed path with tiny segments
+            ac._STREAM_MIN = 1 << 18
+            ac._STREAM_SEG = 1 << 17
+            ac._STREAM_OCC = 1 << 15
+            got_stream = ac.find_matches_as_indexes(hay)
+            assert got_stream == want, (
+                f"BIG STREAM MISMATCH kind={kind} backend={backend} "
+                f"pats={pats!r} n={n} style={style} "
+                f"got={len(got_stream)} want={len(want)}"
+            )
+            checks += 1
+        # non-streamed vectorized resolve on the same corpus
+        ac2 = BytesAhoCorasick(pats, matchkind=kind, backend="numpy")
+        got_vec = ac2.find_matches_as_indexes(hay)
+        assert got_vec == want, (
+            f"BIG VECTOR MISMATCH kind={kind} pats={pats!r} n={n}"
+        )
+        checks += 1
+    return checks
+
+
 def main() -> None:
     budget = float(sys.argv[1]) if len(sys.argv) > 1 else 120.0
     rng = np.random.default_rng(int(time.time()))
@@ -117,6 +170,8 @@ def main() -> None:
     checks = 0
     t0 = time.time()
     while time.time() - t0 < budget:
+        if cases % 120 == 20:
+            checks += big_nested_check(rng)
         pats, hay = gen_case(rng)
         cases += 1
         for kind in KINDS:
