@@ -38,26 +38,49 @@ from ..models.automaton import Automaton, PAD_BYTE
 from ..models.prefilter import Prefilter
 from .scan_jax import compact_sparse
 
-#: rows per fire-kernel block (R*128 bytes of haystack per block)
-BLOCK_ROWS = 2048
+#: A/B switch for the halo'd fire kernel (tools/probe_fire_halo.py);
+#: False restores the force-fire-every-block formulation.
+USE_FIRE_HALO = True
+
+#: rows per fire-kernel block (R*128 bytes of haystack per block).
+#: Empirical ceiling on this jax/libtpu: R=512 == R=256 kernel time
+#: (the Mosaic grid loop is free) while R >= 1024 overruns the ~16MB
+#: scoped-VMEM limit even when the per-unit estimate says it fits —
+#: e.g. an m=7/words=1 fingerprint at R=2048 allocated 16.14M on the
+#: kernel stack (caught by the round-5 cross-tier verify on real TPU).
+BLOCK_ROWS = 512
 
 
 def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _leftroll(x: jnp.ndarray, k: int, R: int) -> jnp.ndarray:
-    """y[p] = x[p + k] over row-major [R, 128], wrapping within the block."""
+def _leftroll(
+    x: jnp.ndarray, k: int, R: int, hrow: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """y[p] = x[p + k] over row-major [R, 128].
+
+    Without ``hrow`` the shift wraps within the block (the original
+    force-fire formulation).  With ``hrow`` — the [1, 128] row that
+    FOLLOWS the block in the global layout — the wrapped lanes of the
+    last row read the true next bytes instead, so positions
+    ``R*128-(m-1) ..`` compute real fingerprints and need no force-fire
+    (k < 128 always holds: fingerprints are <= 8 bytes).
+    """
     a = pltpu.roll(x, 128 - k, 1)
     b = pltpu.roll(x, R - 1, 0)
     c = pltpu.roll(b, 128 - k, 1)
+    if hrow is not None:
+        ch = jnp.broadcast_to(pltpu.roll(hrow, 128 - k, 1), x.shape)
+        row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+        c = jnp.where(row == R - 1, ch, c)
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     return jnp.where(lane >= 128 - k, c, a)
 
 
 def _make_fire_kernel(
-    m: int, words: int, passes: int
-) -> Callable[[Any, Any, Any], None]:
+    m: int, words: int, passes: int, halo: bool = False
+) -> Callable[..., None]:
     """Fire kernel for an ``m``-byte, ``words``-plane, ``passes``-pass
     fingerprint.
 
@@ -68,14 +91,31 @@ def _make_fire_kernel(
     are AND-combined, which squares the false-fire rate for independently
     bucketed passes while keeping soundness (a true match survives every
     pass by construction).
+
+    With ``halo`` the kernel takes an extra [32, 128] input holding the
+    rows that FOLLOW the block; the last ``m-1`` positions then compute
+    real fingerprints from the true next bytes instead of being
+    force-fired (VERDICT r4 item 4: the wrap force-fires were ~13% of
+    fired groups on the LONG corpus, all paid again in verify windows).
+    Only the final grid block still force-fires its tail — its "next"
+    bytes don't exist.
     """
 
-    def _fire_kernel(tabs_ref: Any, x_ref: Any, out_ref: Any) -> None:
+    def _fire_kernel(*refs: Any) -> None:
+        if halo:
+            tabs_ref, x_ref, hx_ref, out_ref = refs
+        else:
+            tabs_ref, x_ref, out_ref = refs
         x = x_ref[:]  # [R, 128] uint8
         R = x.shape[0]
         t = tabs_ref[:]  # [passes*2*m*words, 128] int32 nibble tables
-        lo = (x & jnp.uint8(15)).astype(jnp.int32)
-        hi = x.astype(jnp.int32) >> 4
+        lo0 = (x & jnp.uint8(15)).astype(jnp.int32)
+        hi0 = x.astype(jnp.int32) >> 4
+        hlo = hhi = None
+        if halo:
+            hr = hx_ref[0:1, :]  # the row right after this block
+            hlo = (hr & jnp.uint8(15)).astype(jnp.int32)
+            hhi = hr.astype(jnp.int32) >> 4
 
         def lut(row: int, idx: jax.Array) -> jax.Array:
             tab = jnp.broadcast_to(t[row : row + 1, :], idx.shape)
@@ -87,10 +127,11 @@ def _make_fire_kernel(
         # ANDed terms — words*passes fewer leftrolls per position.
         any_fire = None
         fires = [None] * (passes * words)
+        lo, hi = lo0, hi0
         for k in range(m):
             if k:
-                lo = _leftroll(lo, 1, R)
-                hi = _leftroll(hi, 1, R)
+                lo = _leftroll(lo0, k, R, hlo)
+                hi = _leftroll(hi0, k, R, hhi)
             for p in range(passes):
                 base = p * m * 2 * words
                 for w in range(words):
@@ -107,11 +148,17 @@ def _make_fire_kernel(
             any_fire = (
                 pass_hit if any_fire is None else (any_fire & pass_hit)
             )
-        # Force-fire the block's last m-1 positions (roll wrap-around zone).
+        # Force-fire the wrap zone: every block without halo, only the
+        # final block (whose next bytes don't exist) with halo.
         row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
         lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
         pos = row * 128 + lane
-        any_fire = any_fire | (pos >= R * 128 - (m - 1))
+        wrap = pos >= R * 128 - (m - 1)
+        if halo:
+            wrap = wrap & (
+                pl.program_id(0) == pl.num_programs(0) - 1
+            )
+        any_fire = any_fire | wrap
         out_ref[:] = any_fire.astype(jnp.uint8)
 
     return _fire_kernel
@@ -121,12 +168,14 @@ def _block_rows(m: int, words: int, passes: int) -> int:
     """Block height fitting the kernel's live int32 tiles in VMEM.
 
     Live intermediates estimate ≈ R * 512B * (passes*2*m*words); the
-    estimate runs ~2x over actual Mosaic usage (measured r4: at m=6 w=4
-    the estimate says 25MB for R=512, which compiles; R=1024 does not),
-    so the budget is 16MB against the ~16MB scoped-VMEM limit.  Bigger
-    blocks mean fewer force-fired wrap positions: R 256 -> 512 cut
-    per-byte fires 38538 -> 33421 on the 64MB LONG corpus at identical
-    kernel time (probe_transpose_kernel).
+    estimate is loose in BOTH directions (at m=6 w=4 it says 25MB for
+    R=512, which compiles; at m=7 w=1 it says 14.7MB for R=2048, which
+    OOMs at 16.14M actual), so besides the 16MB budget the block height
+    is clamped at :data:`BLOCK_ROWS` = 512 — measured identical kernel
+    time to 256 and the largest height that compiles across observed
+    fingerprint shapes.  Bigger blocks mean fewer force-fired wrap
+    positions: R 256 -> 512 cut per-byte fires 38538 -> 33421 on the
+    64MB LONG corpus at identical kernel time (probe_transpose_kernel).
     """
     r = (16 << 20) // (512 * 2 * m * words * passes)
     R = 128
@@ -142,26 +191,49 @@ def fire_mask(
     words: int,
     passes: int = 1,
 ) -> jnp.ndarray:
-    """uint8 [Rtot, 128] fire mask for a row-major haystack layout."""
+    """uint8 [Rtot, 128] fire mask for a row-major haystack layout.
+
+    Multi-block layouts pass the haystack a second time through a
+    [32, 128] halo BlockSpec mapping block ``i`` to the rows at
+    ``(i+1)*R`` (clamped for the final block), so block-boundary
+    positions compute real fingerprints instead of force-firing.
+    """
     Rtot = hay2d.shape[0]
     R = min(_block_rows(m, words, passes), Rtot)
     nblk = Rtot // R
     rows = passes * 2 * m * words
-    return pl.pallas_call(
-        _make_fire_kernel(m, words, passes),
-        grid=(nblk,),
-        in_specs=[
+    use_halo = (
+        USE_FIRE_HALO and nblk > 1 and R % 32 == 0 and Rtot % 32 == 0
+    )
+    in_specs = [
+        pl.BlockSpec(
+            (rows, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec((R, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    inputs: tuple = (tables, hay2d)
+    if use_halo:
+        rb = R // 32  # R in 32-row halo-chunk units
+        last_chunk = Rtot // 32 - 1
+
+        in_specs.append(
             pl.BlockSpec(
-                (rows, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec((R, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
+                (32, 128),
+                lambda i: (jnp.minimum((i + 1) * rb, last_chunk), 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        inputs = (tables, hay2d, hay2d)
+    return pl.pallas_call(
+        _make_fire_kernel(m, words, passes, halo=use_halo),
+        grid=(nblk,),
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (R, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((Rtot, 128), jnp.uint8),
         interpret=_use_interpret(),
-    )(tables, hay2d)
+    )(*inputs)
 
 
 #: bit position where the verify table carries the "next state has matches"
@@ -395,7 +467,12 @@ class TeddyScanner:
         self.worthwhile = True
 
     def stage(self, hay: np.ndarray) -> jnp.ndarray:
-        """Pad + reshape + transfer a haystack to the device layout."""
+        """Pad + reshape + transfer a haystack to the device layout.
+
+        ``jnp.asarray`` dispatches the host->device copy asynchronously,
+        so a caller can stage segment ``k+1`` while segment ``k``'s
+        fused pipeline is still executing (``occurrences_streamed``).
+        """
         n = len(hay)
         rows = -(-max(n, 1) // 128)
         R = min(BLOCK_ROWS, _bucket(rows, lo=8))
@@ -403,6 +480,65 @@ class TeddyScanner:
         buf = np.zeros(rows_p * 128, dtype=np.uint8)
         buf[:n] = hay
         return jnp.asarray(buf.reshape(rows_p, 128))
+
+    #: segment length of the double-buffered streamed pipeline
+    SEG_BYTES = 64 << 20
+
+    def occurrences_streamed(
+        self, hay: np.ndarray, seg_bytes: int | None = None
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+        """Segmented prefiltered scan with double-buffered staging.
+
+        Splits the haystack into ``seg_bytes`` segments, each staged
+        with a ``W``-byte right overlap so every match STARTING inside
+        a segment is verified there (same start-attribution rule as the
+        sharded right-halo); matches starting in the overlap are
+        dropped and re-found by the next segment.  Segment ``k+1``'s
+        host->device transfer is dispatched before segment ``k``'s
+        result fetch blocks, overlapping transfer with compute
+        (VERDICT r4 item 5 — the round-4 path staged the whole corpus,
+        fully serial with the dispatch).
+        """
+        n = len(hay)
+        seg = seg_bytes or self.SEG_BYTES
+        if n <= seg:
+            return self.occurrences(hay)
+        W = self.am.max_len + COARSE - 1
+        starts = list(range(0, n, seg))
+
+        def window(i: int) -> np.ndarray:
+            s0 = starts[i]
+            return hay[s0 : min(n, s0 + seg + W)]
+
+        out_p: list[np.ndarray] = []
+        out_s: list[np.ndarray] = []
+        out_e: list[np.ndarray] = []
+        cur_win = window(0)
+        cur2d = self.stage(cur_win)
+        for i, s0 in enumerate(starts):
+            nxt_win = nxt2d = None
+            if i + 1 < len(starts):
+                nxt_win = window(i + 1)
+                nxt2d = self.stage(nxt_win)  # async, overlaps compute
+            occ = self.occurrences(cur_win, hay2d=cur2d)
+            if occ is None:
+                return None  # fire rate says the dense tiers win
+            pids, sts, ends = occ
+            if i + 1 < len(starts):
+                keep = sts < seg  # starts in the overlap belong to i+1
+                pids, sts, ends = pids[keep], sts[keep], ends[keep]
+            out_p.append(pids)
+            out_s.append(sts + s0)
+            out_e.append(ends + s0)
+            cur_win, cur2d = nxt_win, nxt2d
+        pids = np.concatenate(out_p)
+        sts = np.concatenate(out_s)
+        ends = np.concatenate(out_e)
+        # boundary-spanning matches kept by segment k can END after
+        # segment k+1's first matches — restore the canonical
+        # (end asc, len desc, pid asc) order the resolvers require
+        order = np.lexsort((pids, sts, ends))
+        return pids[order], sts[order], ends[order]
 
     def occurrences(
         self, hay: np.ndarray, hay2d: jnp.ndarray | None = None

@@ -170,3 +170,36 @@ def test_prefilter_soundness_exhaustive() -> None:
                 assert allowed[ps, k, p[k], b], (ps, pid, k)
             for k in range(len(p), pf.m):
                 assert allowed[ps, k, :, b].all()
+
+
+def test_teddy_streamed_equals_single_dispatch() -> None:
+    """occurrences_streamed (double-buffered segments with W-overlap +
+    start attribution) == occurrences over the whole corpus, including
+    matches spanning segment boundaries."""
+    patterns = [b"hello", b"world", b"boundary"]
+    rng = random.Random(4)
+    hay = bytearray(
+        bytes(rng.randrange(97, 123) for _ in range(40_000))
+    )
+    # plant matches, several straddling the segment cut points
+    seg = 8192
+    for cut in range(seg, len(hay), seg):
+        hay[cut - 4 : cut + 4] = b"boundary"
+    for i in range(0, len(hay) - 8, 1111):
+        hay[i : i + 5] = b"hello"
+    hay = bytes(hay)
+    am = build_automaton(patterns)
+    pf = build_prefilter(patterns)
+    assert pf is not None
+    t = DeviceTables(am, "dfa")
+    scanner = TeddyScanner(
+        am, pf, t.table, t.classes, t.match_count, t.use_classes
+    )
+    arr = np.frombuffer(hay, dtype=np.uint8)
+    whole = scanner.occurrences(arr)
+    streamed = scanner.occurrences_streamed(arr, seg_bytes=seg)
+    assert whole is not None and streamed is not None
+    for a, b in zip(whole, streamed):
+        assert np.array_equal(a, b)
+    # sanity: the boundary pattern was actually found
+    assert (whole[0] == 2).sum() >= 3
