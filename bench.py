@@ -507,6 +507,17 @@ def main() -> None:
 
             t = _time_best(teddy_e2e, reps=2)
             detail["tpu_teddy_end_to_end_gbps"] = round(n / t / 1e9, 4)
+            # double-buffered streamed staging over 4 segments (the
+            # user-visible large-corpus path; stage k+1 overlaps
+            # compute k — measured 2.7x vs sequential in r5)
+            big = np.concatenate([hay] * 4)
+            t0 = time.perf_counter()
+            occ_b = scanner.occurrences_streamed(big)
+            tb = time.perf_counter() - t0
+            if occ_b is not None:
+                detail["tpu_teddy_e2e_256mb_streamed_gbps"] = round(
+                    len(big) / tb / 1e9, 4
+                )
         else:
             detail["tpu_teddy_gbps"] = "fallback (fire rate too high)"
     except Exception:
