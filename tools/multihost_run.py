@@ -211,6 +211,68 @@ def weak_scaling(
     }
 
 
+def independent_pair(nbytes: int, repeats: int = 6, runs: int = 2) -> float:
+    """Best per-process seconds when TWO UNRELATED 1-process workers run
+    simultaneously (separate coordinators, pinned to cores 0 and 1).
+
+    No collectives exist between them, so the ratio solo/pair isolates
+    pure memory-system contention of this 2-core VM — the term that must
+    be subtracted before reading the 2-process sharded ratio as a
+    *communication* efficiency (the quantity the BASELINE >=85% target
+    is about; real multi-chip fabrics have per-chip HBM).
+    """
+    import subprocess
+    import tempfile
+
+    best = float("inf")
+    for _ in range(runs):
+        tmp = tempfile.mkdtemp(prefix="mh_ind_")
+        procs = []
+        outs = []
+        for idx, core in ((0, 0), (1, 1)):
+            port = _free_port()
+            out = os.path.join(tmp, f"ind{idx}.json")
+            outs.append(out)
+            env = dict(os.environ)
+            env["XLA_FLAGS"] = (
+                env.get("XLA_FLAGS", "")
+                + " --xla_force_host_platform_device_count=1"
+            )
+            env["PYTHONPATH"] = (
+                env.get("PYTHONPATH", "") + os.pathsep + REPO
+            ).lstrip(os.pathsep)
+            procs.append(
+                subprocess.Popen(
+                    [
+                        "taskset", "-c", str(core),
+                        sys.executable, "-m",
+                        "ahocorasick_rs_tpu.parallel.multihost",
+                        "--coordinator", f"127.0.0.1:{port}",
+                        "--num-processes", "1",
+                        "--process-id", "0",
+                        "--platform", "cpu",
+                        "--nbytes", str(nbytes),
+                        "--repeats", str(repeats),
+                        "--out", out,
+                    ],
+                    env=env,
+                    cwd=REPO,
+                    stdout=open(os.path.join(tmp, f"ind{idx}.log"), "w"),
+                    stderr=subprocess.STDOUT,
+                )
+            )
+        for p in procs:
+            p.communicate(timeout=1800)
+            if p.returncode != 0:
+                raise RuntimeError("independent worker failed")
+        times = []
+        for out in outs:
+            with open(out) as f:
+                times.append(json.load(f)["scan_seconds_best"])
+        best = min(best, max(times))
+    return best
+
+
 def weak_scaling_curve() -> list[dict]:
     """Efficiency vs per-process size (VERDICT r4 weak #1): the fixed
     cross-process cost amortizes as per-process work grows, so the
@@ -222,10 +284,22 @@ def weak_scaling_curve() -> list[dict]:
         (512 << 20, 4, 1),
     ):
         pt = weak_scaling(nbytes, repeats=repeats, runs=runs)
+        # decomposition: total = memory-contention x communication
+        t_ind = independent_pair(nbytes, repeats=max(4, repeats - 2),
+                                 runs=runs)
+        pt["seconds_independent_pair"] = t_ind
+        pt["memory_contention_efficiency"] = round(
+            pt["seconds_1proc"] / t_ind, 4
+        )
+        pt["communication_efficiency"] = round(
+            t_ind / pt["seconds_2proc"], 4
+        )
         points.append(pt)
         print(
             f"curve point {nbytes >> 20}MB/proc: "
-            f"eff={pt['weak_scaling_efficiency']}",
+            f"eff={pt['weak_scaling_efficiency']} "
+            f"(mem {pt['memory_contention_efficiency']} x "
+            f"comm {pt['communication_efficiency']})",
             flush=True,
         )
     return points
