@@ -889,6 +889,35 @@ class _MatcherBase:
             return self._native_resolve_scan(hay)
         return self._find_streaming(hay, host, overlapping)
 
+    #: lazily-built leftmost pruned table (delta_lm, bestlen, bestpid);
+    #: False when the automaton is too large for the extra layout
+    _leftmost_tables = None
+    #: extra-table budget for the leftmost pruned layout
+    _LEFTMOST_TABLE_MAX = 256 << 20
+
+    def _get_leftmost_tables(self) -> Optional[tuple]:
+        """The leftmost-priority pruned automaton (built once).
+
+        The package's analogue of the crate's per-match-kind NFA
+        variants (SURVEY.md X7/X8): a dense ``[S+1, 257]`` table whose
+        failure transitions are pruned so the walk DIES when the
+        recorded leftmost candidate is final — making leftmost scans
+        O(n + matches * max_len) instead of O(occurrences).
+        """
+        if self._leftmost_tables is None:
+            from .models import native as _native
+
+            am = self._automaton
+            if (am.num_states + 1) * 257 * 4 > self._LEFTMOST_TABLE_MAX:
+                self._leftmost_tables = False  # ring resolver instead
+            else:
+                delta_lm = _native.build_leftmost_table(
+                    self._byte_patterns
+                )
+                bl, bp = _native.leftmost_best(am)
+                self._leftmost_tables = (delta_lm, bl, bp)
+        return self._leftmost_tables or None
+
     def _native_resolve_scan(
         self, hay: np.ndarray
     ) -> list[tuple[int, int, int]]:
@@ -896,6 +925,16 @@ class _MatcherBase:
         from .models import native as _native
 
         am = self._automaton
+        kind = self._matchkind.value
+        if kind in ("leftmost_first", "leftmost_longest"):
+            lt = self._get_leftmost_tables()
+            if lt is not None:
+                delta_lm, bl, bp = lt
+                p, s, e = _native.resolve_leftmost_native(
+                    delta_lm, bl, bp, hay, kind
+                )
+                self._last_backend = "native_resolve"
+                return list(zip(p.tolist(), s.tolist(), e.tolist()))
         if self._implementation is not Implementation.DFA and (
             self._implementation is Implementation.ContiguousNFA
             or am._delta_classed is not None

@@ -146,8 +146,86 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, _i64p, _i64p,
             _i64p, ctypes.c_int64,
         ]
+        lib.ac_build_dense_leftmost.restype = None
+        lib.ac_build_dense_leftmost.argtypes = [ctypes.c_void_p, _i32p]
+        lib.ac_resolve_leftmost.restype = ctypes.c_int64
+        lib.ac_resolve_leftmost.argtypes = [
+            _i32p, ctypes.c_int64, _i32p, _i32p, _i8p, ctypes.c_int64,
+            ctypes.c_int32, _i64p, _i64p, _i64p, ctypes.c_int64,
+        ]
         _lib = lib
         return _lib
+
+
+def build_leftmost_table(patterns: Sequence[bytes]) -> np.ndarray:
+    """Leftmost-priority pruned dense table, int32 ``[S+1, 257]``.
+
+    Row ``S`` is the DEAD state; a DEAD transition during the leftmost
+    walk means the recorded candidate is final (see
+    ``ac_build_dense_leftmost`` in the C++ source for the pruning rule).
+    The automaton-core tables are unchanged — this is an EXTRA layout
+    the leftmost O(n) scan uses, the package's analogue of the crate's
+    per-match-kind NFA variants (SURVEY.md X7/X8).
+    """
+    lib = _load()
+    assert lib is not None
+    data = np.frombuffer(b"".join(patterns), dtype=np.uint8)
+    if len(data) == 0:
+        data = np.zeros(1, dtype=np.uint8)
+    lens = np.asarray([len(p) for p in patterns], dtype=np.int64)
+    handle = lib.ac_build(data, lens, len(patterns))
+    try:
+        S = lib.ac_num_states(handle)
+        delta = np.empty((S + 1, 257), dtype=np.int32)
+        lib.ac_build_dense_leftmost(handle, delta)
+        return delta
+    finally:
+        lib.ac_free(handle)
+
+
+def leftmost_best(am: "Automaton") -> tuple[np.ndarray, np.ndarray]:
+    """Per-state (bestlen, bestpid) arrays sized S+1 for the walk.
+
+    The match CSR is ordered (len desc, pid asc), so the first entry of
+    each state's slice is its longest match with the smallest pattern id
+    — exactly the candidate the leftmost register records.
+    """
+    S = am.num_states
+    bestlen = np.zeros(S + 1, dtype=np.int32)
+    bestpid = np.zeros(S + 1, dtype=np.int32)
+    has = am.match_count > 0
+    first = am.match_offsets[:-1][has]
+    bestlen[:S][has] = am.match_lens[first]
+    bestpid[:S][has] = am.match_pids[first]
+    return bestlen, bestpid
+
+
+def resolve_leftmost_native(
+    delta_lm: np.ndarray,
+    bestlen: np.ndarray,
+    bestpid: np.ndarray,
+    hay: np.ndarray,
+    kind: str,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """O(n) leftmost scan over the pruned table (GIL released)."""
+    lib = _load()
+    assert lib is not None
+    hay = np.ascontiguousarray(hay, dtype=np.uint8)
+    n = len(hay)
+    dead = delta_lm.shape[0] - 1
+    kcode = 1 if kind == "leftmost_first" else 2
+    cap = 4096
+    while True:
+        out_pid = np.empty(cap, dtype=np.int64)
+        out_start = np.empty(cap, dtype=np.int64)
+        out_end = np.empty(cap, dtype=np.int64)
+        total = lib.ac_resolve_leftmost(
+            delta_lm, dead, bestlen, bestpid, hay, n, kcode,
+            out_pid, out_start, out_end, cap,
+        )
+        if total <= cap:
+            return out_pid[:total], out_start[:total], out_end[:total]
+        cap = int(total)
 
 
 #: match-kind name -> the native resolver's kind code

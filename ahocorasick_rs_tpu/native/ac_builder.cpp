@@ -28,6 +28,7 @@ struct Builder {
   // flattened match CSR (filled by finalize)
   std::vector<int64_t> match_offsets;
   std::vector<int32_t> match_pids;
+  std::vector<int64_t> patlen;  // pattern lengths (for leftmost tables)
   int32_t max_len = 1;
   int64_t n_edges = 0;
 
@@ -71,6 +72,7 @@ void *ac_build(const uint8_t *data, const int64_t *lens, int64_t n_patterns) {
   b->own.emplace_back();
 
   const uint8_t *p = data;
+  b->patlen.assign(lens, lens + n_patterns);
   for (int64_t i = 0; i < n_patterns; ++i) {
     int32_t node = 0;
     for (int64_t j = 0; j < lens[i]; ++j) node = b->insert_child(node, p[j]);
@@ -191,6 +193,73 @@ void ac_build_dense(void *h, int32_t *delta) {
     for (auto &e : b->edges[u]) row[e.first] = e.second;
     row[256] = 0;
   }
+}
+
+// Leftmost-priority pruned dense table, [S+1, 257]; row S is the DEAD
+// state.  The leftmost match kinds need an automaton whose walk can DIE:
+// death is the signal that the recorded leftmost candidate is final
+// (emit + restart at its end), which is what makes the scan O(n + M *
+// max_len) instead of the occurrence-set engine's O(occurrences)
+// (reference analogue: the aho-corasick crate's leftmost NFA variants,
+// SURVEY.md X7/X8).  Construction rule, per state u on path p(u):
+//   bestlen(u) = longest match in u's full (suffix-propagated) match set
+//   o(u)       = min over ancestors-or-self a of depth(a) - bestlen(a)
+//                (the earliest recorded-match start offset on the path)
+//   fail(u) allowed iff depth(fail(u)) >= depth(u) - o(u)
+//                (the failure suffix still covers the recorded start)
+// Disallowed failure = DEAD for every non-edge byte.  Exactness is
+// pinned differentially against the occurrence-set engine
+// (tests/test_leftmost_automaton.py + the fuzzers).
+void ac_build_dense_leftmost(void *h, int32_t *delta) {
+  auto *b = static_cast<Builder *>(h);
+  const int64_t S = static_cast<int64_t>(b->edges.size());
+  const int32_t DEAD = static_cast<int32_t>(S);
+  const int64_t INF = INT64_MAX / 2;
+  std::vector<int32_t> order;
+  order.reserve(S);
+  order.push_back(0);
+  std::vector<int64_t> o(S, INF);
+  std::vector<int64_t> bestlen(S, 0);
+  for (size_t qi = 0; qi < order.size(); ++qi)
+    for (auto &e : b->edges[order[qi]]) order.push_back(e.second);
+  for (int32_t u : order) {
+    const int64_t lo = b->match_offsets[u];
+    if (lo < b->match_offsets[u + 1])
+      bestlen[u] = b->patlen[b->match_pids[lo]];
+  }
+  // o() needs parents before children: BFS order guarantees it; root's
+  // parent is itself
+  std::vector<int32_t> parent(S, 0);
+  for (int32_t u : order)
+    for (auto &e : b->edges[u]) parent[e.second] = u;
+  for (int32_t u : order) {
+    int64_t ov = (u == 0) ? INF : o[parent[u]];
+    if (bestlen[u] > 0) {
+      const int64_t own = b->depth[u] - bestlen[u];
+      if (own < ov) ov = own;
+    }
+    o[u] = ov;
+  }
+  for (int32_t u : order) {
+    int32_t *row = delta + static_cast<int64_t>(u) * 257;
+    if (u == 0) {
+      std::memset(row, 0, 257 * sizeof(int32_t));
+    } else {
+      const int32_t f = b->fail[u];
+      const bool allowed =
+          o[u] >= INF || b->depth[f] >= b->depth[u] - o[u];
+      if (allowed) {
+        std::memcpy(row, delta + static_cast<int64_t>(f) * 257,
+                    257 * sizeof(int32_t));
+      } else {
+        for (int k = 0; k < 257; ++k) row[k] = DEAD;
+      }
+    }
+    for (auto &e : b->edges[u]) row[e.first] = e.second;
+    row[256] = DEAD;  // PAD column never taken by the host walk
+  }
+  int32_t *dead_row = delta + S * 257;
+  for (int k = 0; k < 257; ++k) dead_row[k] = DEAD;
 }
 
 void ac_free(void *h) { delete static_cast<Builder *>(h); }
@@ -876,6 +945,96 @@ int64_t ac_resolve_classed(const int32_t *delta, int64_t num_classes,
   return resolve_scan_dispatch<true>(delta, num_classes, classes, moff,
                                      mpids, mlens, hay, n, kind, max_len,
                                      out_pid, out_start, out_end, cap);
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Leftmost walk over the pruned table (ac_build_dense_leftmost): one pass,
+// O(n + matches * max_len).  A single best-candidate register suffices
+// because the pruned automaton DIES before any candidate disjoint from the
+// recorded one can appear (the failure rule retains the recorded start or
+// cuts the walk); on death the candidate is emitted and the scan restarts
+// at its end (bounded rescan).  kind: 1 = leftmost_first (same-start ties
+// by pattern id), 2 = leftmost_longest (same-start ties by length, then
+// id).  Emission contract matches the other scanners (count past cap).
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+int64_t ac_resolve_leftmost(const int32_t *delta, int64_t dead,
+                            const int32_t *bestlen, const int32_t *bestpid,
+                            const uint8_t *hay, int64_t n, int32_t kind,
+                            int64_t *out_pid, int64_t *out_start,
+                            int64_t *out_end, int64_t cap) {
+  int64_t total = 0;
+  int64_t i = 0;
+  int32_t state = 0;
+  bool have = false;
+  int64_t rs = 0, re = 0;
+  int32_t rlen = 0, rpid = 0;
+  const int32_t DEAD = static_cast<int32_t>(dead);
+
+  auto emit = [&]() {
+    if (total < cap) {
+      out_pid[total] = rpid;
+      out_start[total] = rs;
+      out_end[total] = re;
+    }
+    ++total;
+  };
+
+  while (true) {
+    if (i >= n) {
+      // end of input is a death event too: emit the pending candidate
+      // and rescan from its end — matches after it were deliberately
+      // not recorded while it was pending
+      if (!have) break;
+      emit();
+      i = re;
+      state = 0;
+      have = false;
+      if (i >= n) break;
+      continue;
+    }
+    const int32_t nx = delta[static_cast<int64_t>(state) * 257 + hay[i]];
+    if (nx == DEAD) {
+      if (!have) {  // defensive: cannot happen per construction
+        state = 0;
+        ++i;
+        continue;
+      }
+      emit();
+      i = re;  // restart at the match end (bounded rescan)
+      state = 0;
+      have = false;
+      continue;
+    }
+    state = nx;
+    ++i;
+    const int32_t bl = bestlen[state];
+    if (bl) {
+      const int64_t s = i - bl;
+      bool better;
+      if (!have) {
+        better = true;
+      } else if (s != rs) {
+        better = s < rs;
+      } else if (kind == 1) {
+        better = bestpid[state] < rpid;
+      } else {
+        better = bl > rlen || (bl == rlen && bestpid[state] < rpid);
+      }
+      if (better) {
+        have = true;
+        rs = s;
+        rlen = bl;
+        rpid = bestpid[state];
+        re = s + bl;
+      }
+    }
+  }
+  return total;
 }
 
 }  // extern "C"

@@ -2,7 +2,8 @@
 
 Runs the public API's device tiers on the attached TPU chip against the
 python-tier oracle for a matrix of corpora x semantics x backends, and
-writes ``TPU_CONFORMANCE_r05.json`` (round-5 re-run incl. the halo fire kernel + streamed staging).  This is executed evidence that the
+writes ``TPU_CONFORMANCE_r05.json`` (round-5 re-run including the halo
+fire kernel and streamed staging).  This is executed evidence that the
 device kernels (dense lane scan, stride-2, prefiltered Teddy) are
 bit-exact on real hardware, not just under the CPU interpret/virtual-mesh
 test environment.
