@@ -831,6 +831,17 @@ class _MatcherBase:
         )
         n = len(hay)
         self._last_backend = backend
+        if backend == "native" and not overlapping:
+            # Cheap density probe on a 1MB slice: match-dense corpora
+            # (>1/16 of positions matching) route to the fused native
+            # resolver, which walks the haystack ONCE carrying the
+            # greedy restart cursor — O(output + max_len) memory and
+            # O(n) work, the reference's own complexity class.  For
+            # sparse corpora the probe costs one ~1MB lane scan.
+            probe_n = min(n, 1 << 20)
+            pos0, _ = self._host_scan(hay[:probe_n], backend)
+            if len(pos0) * 16 > probe_n:
+                return self._native_resolve_scan(hay)
         for s0 in range(0, n, self._STREAM_SEG):
             s1 = min(n, s0 + self._STREAM_SEG)
             lo = max(0, s0 - halo)
@@ -838,19 +849,6 @@ class _MatcherBase:
             if lo:
                 k = int(np.searchsorted(pos, s0 - lo))
                 pos, st = pos[k:] + lo, st[k:]
-            if (
-                s0 == 0
-                and not overlapping
-                and backend == "native"
-                and len(pos) * 16 > (s1 - s0)
-            ):
-                # Match-dense corpus (>1/16 of positions match): even
-                # streamed, the occurrence-set pipeline does
-                # O(n * nesting) expansion work.  The fused native
-                # resolver walks the haystack ONCE, carrying the greedy
-                # restart cursor — O(output + max_len) memory and O(n)
-                # work, the reference's own complexity class here.
-                return self._native_resolve_scan(hay)
             if not len(pos):
                 continue
             self._feed_occurrences(res, pos, st)

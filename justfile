@@ -11,7 +11,7 @@ lint:
     python tools/typecheck_lite.py
 
 # 2-process jax.distributed run on localhost (gloo collectives); verifies
-# multi-process bit-exactness and writes SCALING_r04.json.
+# multi-process bit-exactness and writes SCALING_r05.json.
 multihost:
     python tools/multihost_run.py
 
@@ -39,3 +39,30 @@ scaling:
 # dense/classed/Teddy device kernels against the host oracle on hardware).
 tpu-conformance:
     python tools/tpu_conformance.py
+
+# Differential conformance harness in self-test mode (the real run is the
+# CI job `reference-conformance`, which installs the actual
+# ahocorasick_rs wheel and compares tuple-for-tuple + error texts).
+conformance-selftest:
+    python tools/conformance_vs_reference.py --self-test \
+        --min-tuple-checks 50000 --max-seconds 120
+
+# Competitor benchmark harness in self-test mode (CI runs the real one
+# against pyahocorasick + ahocorasick_rs).
+bench-vs-reference-selftest:
+    python tools/bench_vs_reference.py --self-test --long-haystacks 3000 \
+        --out /tmp/bvr.md --json-out /tmp/bvr.json
+
+# Bulk differential fuzzer: all host tiers/engines/semantics vs the
+# brute-force oracle, incl. >=1MB match-dense cases.  Arg = seconds.
+fuzz seconds="300":
+    python tools/fuzz_differential.py {{seconds}}
+
+# Fire-kernel halo A/B + streamed-staging measurement on the real TPU.
+probe-fire-halo:
+    python tools/probe_fire_halo.py
+
+# Weak-scaling efficiency-vs-size curve with the memory/communication
+# decomposition (writes SCALING_r05.json).
+scaling-curve:
+    python tools/multihost_run.py --curve
