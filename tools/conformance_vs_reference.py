@@ -322,6 +322,78 @@ def error_text_section(ref_mod: Any, stats: Stats) -> None:
             print(f"  error-text OK [{name}]: {ref_type}: {ref_text!r}")
 
 
+def dense_adversarial_section(
+    ref_mod: Any, stats: Stats, rng: np.random.Generator
+) -> None:
+    """Match-dense corpora through the guarded resolve paths vs the
+    reference.
+
+    Nested pattern sets over repetitive corpora route this package's
+    scans through the streamed resolver, the fused native resolve-scan,
+    and the leftmost priority automaton (thresholds are lowered so the
+    dense machinery engages at CI-friendly sizes) — the one code region
+    the small-case sweep cannot reach.  Every output is compared
+    tuple-for-tuple against the reference binary.
+    """
+    lowered = False
+    try:
+        tpu.api._MatcherBase._STREAM_MIN = 1 << 16
+        tpu.api._MatcherBase._STREAM_SEG = 1 << 15
+        tpu.api._MatcherBase._STREAM_OCC = 1 << 13
+        lowered = True
+    except Exception:
+        pass  # private attrs may move; the section still runs full-size
+    try:
+        for _ in range(12):
+            base = int(rng.integers(97, 123))
+            depth = int(rng.integers(2, 17))
+            pats = [bytes([base]) * k for k in range(1, depth + 1)]
+            for _ in range(int(rng.integers(0, 3))):
+                extra = bytes(
+                    rng.integers(97, 123, int(rng.integers(1, 5)),
+                                 dtype=np.uint8)
+                )
+                if extra not in pats:
+                    pats.append(extra)
+            n = int(rng.integers(1 << 17, 1 << 19))
+            if rng.random() < 0.5:
+                hay = bytes([base]) * n
+            else:
+                period = bytes([base]) * int(rng.integers(1, 9)) + b"!"
+                hay = (period * (n // len(period) + 1))[:n]
+            for kind_name in KIND_NAMES:
+                ref = build_matcher(ref_mod, pats, kind_name, None, True)
+                ours = build_matcher(tpu, pats, kind_name, None, True)
+                want = ref.find_matches_as_indexes(hay)
+                got = ours.find_matches_as_indexes(hay)
+                stats.note(got, want)
+                if got != want:
+                    diff_at = next(
+                        (
+                            i
+                            for i, (a, b) in enumerate(zip(got, want))
+                            if a != b
+                        ),
+                        min(len(got), len(want)),
+                    )
+                    stats.failures.append(
+                        "DENSE MISMATCH\n"
+                        f"  pats={pats!r} n={n} kind={kind_name}\n"
+                        f"  got {len(got)} vs want {len(want)}; "
+                        f"first diff near {diff_at}"
+                    )
+                    return
+        print(
+            f"  dense-adversarial OK ({stats.tuple_checks} cumulative "
+            "tuple comparisons)"
+        )
+    finally:
+        if lowered:
+            tpu.api._MatcherBase._STREAM_MIN = 64 << 20
+            tpu.api._MatcherBase._STREAM_SEG = 16 << 20
+            tpu.api._MatcherBase._STREAM_OCC = 8 << 20
+
+
 def render_failures(stats: Stats) -> str:
     return (
         f"{len(stats.failures)} DIVERGENCES after {stats.cases} cases / "
@@ -333,6 +405,15 @@ def render_failures(stats: Stats) -> str:
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--min-tuple-checks", type=int, default=1_000_000)
+    ap.add_argument(
+        "--min-list-checks",
+        type=int,
+        default=150_000,
+        help=(
+            "minimum list-level comparisons from the randomized sweep "
+            "(the dense section alone can satisfy the tuple target)"
+        ),
+    )
     ap.add_argument("--max-seconds", type=float, default=2400.0)
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument(
@@ -366,11 +447,16 @@ def main() -> None:
     error_text_section(ref_mod, stats)
     print("== golden cases ==")
     golden_cases(ref_mod, stats, rng)
+    print("== dense-adversarial section ==")
+    dense_adversarial_section(ref_mod, stats, rng)
     print("== randomized differential sweep ==")
     t0 = time.time()
     last_report = t0
     while (
-        stats.tuple_checks < args.min_tuple_checks
+        (
+            stats.tuple_checks < args.min_tuple_checks
+            or stats.list_checks < args.min_list_checks
+        )
         and time.time() - t0 < args.max_seconds
         and not stats.failures
     ):
@@ -398,10 +484,14 @@ def main() -> None:
     if stats.failures:
         print(render_failures(stats))
         raise SystemExit(1)
-    if stats.tuple_checks < args.min_tuple_checks:
+    if (
+        stats.tuple_checks < args.min_tuple_checks
+        or stats.list_checks < args.min_list_checks
+    ):
         print(
-            f"FAIL: only {stats.tuple_checks} tuple comparisons "
-            f"(< {args.min_tuple_checks}) within {args.max_seconds}s"
+            f"FAIL: {stats.tuple_checks} tuple / {stats.list_checks} "
+            f"list comparisons (< {args.min_tuple_checks} / "
+            f"{args.min_list_checks}) within {args.max_seconds}s"
         )
         raise SystemExit(2)
     print("PASS: zero divergences vs reference")
