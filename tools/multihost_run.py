@@ -358,10 +358,12 @@ def main() -> None:
             f"{args.devices_per_process} virtual devices share 2 physical "
             "cores, so the throughput is contention-bound; the executed "
             "claim is multi-process bit-exactness + working gloo "
-            "collectives.  weak_scaling below pins 1 core per process in "
-            "both configs, so its ratio isolates cross-process collective "
-            "overhead (the BASELINE >=85% quantity) on CPU/gloo — ICI "
-            "numbers still require real multi-chip hardware."
+            "collectives.  The weak-scaling measurements pin 1 core per "
+            "process in both configs; with --curve each point is "
+            "decomposed into memory-contention (independent-pair "
+            "control) x communication efficiency — the latter is the "
+            "BASELINE >=85% quantity.  ICI numbers still require real "
+            "multi-chip hardware."
         ),
         "weak_scaling": (
             None if args.curve else weak_scaling(args.nbytes)
