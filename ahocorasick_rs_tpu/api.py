@@ -635,9 +635,25 @@ class _MatcherBase:
                     am, docs, self._get_device_tables()
                 )
                 self._last_backend = "device_batch"
+            self._check_batch_density(st)
             pids, starts, ends = _resolve.expand_occurrences(am, pos, st)
         offsets = np.arange(B + 1, dtype=np.int64) * T
         return pids, starts, ends, offsets
+
+    def _check_batch_density(self, st: np.ndarray) -> None:
+        """Raise :class:`MatchDenseError` before a batch occurrence
+        expansion that would dwarf the scan (same guard as the
+        single-document path's ``occ_total`` check; ``_find_batch``
+        re-routes each document through the guarded single-doc path)."""
+        occ_total = int(
+            self._automaton.match_count[st.astype(np.int64)]
+            .astype(np.int64)
+            .sum()
+        )
+        if occ_total > 4 * self._STREAM_OCC:
+            raise _resolve.MatchDenseError(
+                f"{occ_total} occurrences in a batch expansion"
+            )
 
     def _native_batch_occurrences(
         self, docs: list[np.ndarray]
@@ -663,6 +679,7 @@ class _MatcherBase:
                 am.delta, am.match_count, buf, offsets
             )
         self._last_backend = "native_batch"
+        self._check_batch_density(st)
         pids, starts, ends = _resolve.expand_occurrences(am, pos, st)
         return pids, starts, ends, offsets
 
@@ -698,6 +715,26 @@ class _MatcherBase:
             return [self._find(d, overlapping) for d in docs]
         kind = self._matchkind.value
         t0 = time.perf_counter()
+        try:
+            return self._find_batch_grouped(
+                docs, overlapping, use_device, kind, t0, total
+            )
+        except _resolve.MatchDenseError:
+            # batch-level density bailout (device compaction overflow or
+            # a would-be-huge occurrence expansion): each document
+            # re-routes through the guarded single-document path, which
+            # owns the match-dense regime (fused/streamed resolvers)
+            return [self._find(d, overlapping) for d in docs]
+
+    def _find_batch_grouped(
+        self,
+        docs: list[np.ndarray],
+        overlapping: bool,
+        use_device: bool,
+        kind: str,
+        t0: float,
+        total: int,
+    ) -> list[list[tuple[int, int, int]]]:
         if use_device:
             n_dev = 1
             if self._mesh_wanted():
@@ -901,6 +938,12 @@ class _MatcherBase:
         failure transitions are pruned so the walk DIES when the
         recorded leftmost candidate is final — making leftmost scans
         O(n + matches * max_len) instead of O(occurrences).
+
+        Construction re-runs the native trie build from the raw
+        patterns (the original builder handle is freed after table
+        export) — a one-off cost bounded by the 256MB table budget
+        (~0.3s at the ~260k-state ceiling), paid only when a leftmost
+        matcher actually hits the match-dense path.
         """
         if self._leftmost_tables is None:
             from .models import native as _native

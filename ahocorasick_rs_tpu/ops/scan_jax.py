@@ -258,6 +258,12 @@ def scan_device_batch(
         total = int(total)
         if total <= cap:
             break
+        if total > max(DENSE_BAILOUT_MIN, (Bb * T) // 8):
+            # density bailout, same contract as scan_device: the host
+            # resolve paths own the match-dense regime (api._find_batch)
+            raise MatchDenseError(
+                f"{total} matched positions in a {Bb}x{T} batch"
+            )
         cap = _bucket(total, lo=4096)
     tables.last_cap = max(4096, _bucket(max(total, 1), lo=4096))
     return pos[:total].astype(np.int64), st[:total].astype(np.int64), T

@@ -570,6 +570,13 @@ def scan_sharded_batch(
         worst = int(totals_np.max()) if totals_np.size else 0
         if worst <= cap:
             break
+        if worst > max(DENSE_BAILOUT_MIN, (Bb // n_dev) * T // 8):
+            # density bailout (see scan_sharded): the host resolve
+            # paths own the match-dense regime (api._find_batch)
+            raise MatchDenseError(
+                f"{worst} matched positions in a {Bb // n_dev}x{T} "
+                "batch shard"
+            )
         cap = _bucket(worst, lo=4096)
     tables.last_cap = max(4096, _bucket(max(worst, 1), lo=4096))
     out_pos: list[np.ndarray] = []

@@ -227,3 +227,22 @@ def test_streaming_sparse_engine_auto_fallback(monkeypatch):
     hay = b"x" * 40000 + b"needle" + b"y" * 40000
     got = ac.find_matches_as_indexes(hay)
     assert got == [(0, 40000, 40006)]
+
+
+@pytest.mark.parametrize("backend", ["native", "device"])
+def test_batch_dense_bailout_routes_per_document(monkeypatch, backend):
+    """Match-dense batches re-route through the guarded single-doc path
+    instead of expanding an O(n * nesting) occurrence set (code-review
+    r5 finding: the batch APIs lacked the density guard)."""
+    from ahocorasick_rs_tpu.ops import scan_jax
+
+    monkeypatch.setattr(scan_jax, "DENSE_BAILOUT_MIN", 64)
+    pats = [b"a" * k for k in range(1, 9)]
+    docs = [b"a" * 20000, b"a" * 15000 + b"b" * 10, b""]
+    ac = BytesAhoCorasick(pats, backend=backend)
+    monkeypatch.setattr(type(ac), "_STREAM_OCC", 1 << 10)
+    monkeypatch.setattr(type(ac), "_STREAM_MIN", 1 << 30)  # isolate guard
+    got = ac.find_matches_as_indexes_batch(docs)
+    ref = BytesAhoCorasick(pats, backend="python")
+    want = [ref.find_matches_as_indexes(d) for d in docs]
+    assert got == want

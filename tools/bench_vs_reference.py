@@ -205,13 +205,16 @@ def main() -> None:
     libs["ours_batch"] = tpu
 
     rng = np.random.default_rng(42)
+    # ONE pattern set, used both for the matchers and for planting names
+    # in the haystacks — two make_patterns_long(rng) calls would advance
+    # the RNG and plant a disjoint name set (zero matches, voiding the
+    # 1-in-90 hit-rate recipe; code-review r5 finding)
+    patterns_long = make_patterns_long(rng)
     datasets = {
         "short": (PATTERNS_SHORT, make_haystacks_short()),
         "long": (
-            make_patterns_long(rng),
-            make_haystacks_long(
-                make_patterns_long(rng), args.long_haystacks, rng
-            ),
+            patterns_long,
+            make_haystacks_long(patterns_long, args.long_haystacks, rng),
         ),
     }
 

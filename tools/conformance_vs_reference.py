@@ -114,25 +114,33 @@ def compare_case(
     stats.cases += 1
     for kind_name in KIND_NAMES:
         for impl_name in IMPL_NAMES:
+            # build each side separately so a one-sided refusal (either
+            # direction) is reported, not silently skipped (code-review
+            # r5 finding: the old single-try swallowed ours-only
+            # ValueErrors as "both refused")
+            ref_exc = ours_exc = None
+            ref = ours = None
             try:
                 ref = build_matcher(
                     ref_mod, pats, kind_name, impl_name, is_bytes
                 )
+            except ValueError as e:
+                ref_exc = e
+            try:
                 ours = build_matcher(
                     tpu, pats, kind_name, impl_name, is_bytes
                 )
             except ValueError as e:
-                # the crate may refuse some build configs (e.g. DFA size
-                # limits); both sides must then refuse identically
-                try:
-                    build_matcher(tpu, pats, kind_name, impl_name, is_bytes)
-                except ValueError:
-                    continue
+                ours_exc = e
+            if (ref_exc is None) != (ours_exc is None):
                 stats.failures.append(
-                    f"build refused only by reference: {e}\n"
-                    f"pats={pats!r} kind={kind_name} impl={impl_name}"
+                    "build refused by only one side\n"
+                    f"  reference: {ref_exc!r}\n  ours: {ours_exc!r}\n"
+                    f"  pats={pats!r} kind={kind_name} impl={impl_name}"
                 )
                 continue
+            if ref_exc is not None:
+                continue  # both refused — acceptable parity
             overlaps = [False, True] if kind_name == "Standard" else [False]
             for hay in hays:
                 for ov in overlaps:
